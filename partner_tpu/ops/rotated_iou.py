@@ -1,0 +1,157 @@
+"""Rotated BEV IoU and 3D IoU in pure JAX (vectorized, fixed shapes).
+
+Replaces the reference CUDA polygon-clipping kernels
+(/root/reference/det3d/ops/iou3d_nms/src/iou3d_nms_kernel.cu:13-200,
+iou3d_nms_utils.py:15-75) with the same candidate-vertex algorithm, fully
+vectorized for the VPU:
+
+  intersection polygon vertices of two convex quads =
+    {corners of A inside B} + {corners of B inside A} +
+    {edge-edge intersection points}          (<= 24 candidates)
+  -> sort candidates by angle around their mean -> shoelace area.
+
+Boxes are BEV rectangles [x, y, dx, dy, yaw] (yaw CCW). 3D IoU adds the z
+interval overlap with boxes [x, y, z, dx, dy, dz, yaw] (z = center).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import center_to_corner_box2d
+
+_EPS = 1e-8
+
+
+def _box_corners(boxes):
+    """(..., 5) -> (..., 4, 2) corners."""
+    return center_to_corner_box2d(boxes[..., :2], boxes[..., 2:4], boxes[..., 4])
+
+
+def _points_in_rect(points, box):
+    """points (..., P, 2) inside rect box (..., 5) -> bool (..., P)."""
+    shift = points - box[..., None, :2]
+    c, s = jnp.cos(box[..., 4]), jnp.sin(box[..., 4])
+    lx = shift[..., 0] * c[..., None] + shift[..., 1] * s[..., None]
+    ly = -shift[..., 0] * s[..., None] + shift[..., 1] * c[..., None]
+    # small eps so shared edges count as inside (matches CUDA kernel tolerance)
+    return (jnp.abs(lx) <= box[..., None, 2] * 0.5 + 1e-5) & (
+        jnp.abs(ly) <= box[..., None, 3] * 0.5 + 1e-5
+    )
+
+
+def _segment_intersections(ca, cb):
+    """All 16 edge-pair intersection points of two quads.
+
+    ca, cb: (..., 4, 2) corners. Returns points (..., 16, 2), valid (..., 16).
+    """
+    a0 = ca
+    a1 = jnp.roll(ca, -1, axis=-2)
+    b0 = cb
+    b1 = jnp.roll(cb, -1, axis=-2)
+
+    # broadcast to (..., 4, 4, 2): a edges x b edges
+    p = a0[..., :, None, :]
+    r = (a1 - a0)[..., :, None, :]
+    q = b0[..., None, :, :]
+    s = (b1 - b0)[..., None, :, :]
+
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = q - p
+    qpxr = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    qpxs = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+
+    denom = jnp.where(jnp.abs(rxs) < _EPS, 1.0, rxs)
+    t = qpxs / denom
+    u = qpxr / denom
+    valid = (
+        (jnp.abs(rxs) >= _EPS)
+        & (t >= -1e-6) & (t <= 1 + 1e-6)
+        & (u >= -1e-6) & (u <= 1 + 1e-6)
+    )
+    pt = p + t[..., None] * r
+    flat = lambda x: x.reshape(x.shape[:-3] + (16,) + x.shape[-1:])
+    return flat(pt), valid.reshape(valid.shape[:-2] + (16,))
+
+
+def rect_intersection_area(box_a, box_b):
+    """Intersection area of two rotated rects (broadcastable leading dims).
+
+    box_a, box_b: (..., 5).
+    """
+    ca = _box_corners(box_a)
+    cb = _box_corners(box_b)
+
+    in_b = _points_in_rect(ca, box_b)  # (..., 4)
+    in_a = _points_in_rect(cb, box_a)
+    inter_pts, inter_valid = _segment_intersections(ca, cb)
+
+    pts = jnp.concatenate([ca, cb, inter_pts], axis=-2)  # (..., 24, 2)
+    valid = jnp.concatenate([in_b, in_a, inter_valid], axis=-1)  # (..., 24)
+
+    n = jnp.sum(valid, axis=-1)
+    center = jnp.sum(
+        jnp.where(valid[..., None], pts, 0.0), axis=-2
+    ) / jnp.maximum(n, 1)[..., None]
+
+    rel = pts - center[..., None, :]
+    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
+    ang = jnp.where(valid, ang, jnp.inf)  # invalid sorted last
+    order = jnp.argsort(ang, axis=-1)
+    rel_sorted = jnp.take_along_axis(rel, order[..., None], axis=-2)
+
+    idx = jnp.arange(24)
+    nxt = jnp.where(idx + 1 < n[..., None], idx + 1, 0)
+    p0 = rel_sorted
+    p1 = jnp.take_along_axis(rel_sorted, nxt[..., None], axis=-2)
+    cross = p0[..., 0] * p1[..., 1] - p0[..., 1] * p1[..., 0]
+    cross = jnp.where(idx < n[..., None], cross, 0.0)
+    area = 0.5 * jnp.abs(jnp.sum(cross, axis=-1))
+    return jnp.where(n >= 3, area, 0.0)
+
+
+def boxes_iou_bev(boxes_a, boxes_b):
+    """Pairwise BEV IoU: (N, 5) x (M, 5) -> (N, M).
+
+    Prefer :func:`iou_bev_row` in loops — this materializes N*M candidate
+    buffers.
+    """
+    a = boxes_a[:, None, :]
+    b = boxes_b[None, :, :]
+    inter = rect_intersection_area(
+        jnp.broadcast_to(a, (boxes_a.shape[0], boxes_b.shape[0], 5)),
+        jnp.broadcast_to(b, (boxes_a.shape[0], boxes_b.shape[0], 5)),
+    )
+    area_a = boxes_a[:, 2] * boxes_a[:, 3]
+    area_b = boxes_b[:, 2] * boxes_b[:, 3]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, _EPS)
+
+
+def iou_bev_row(box, boxes):
+    """IoU of one (5,) box against (N, 5) boxes -> (N,)."""
+    b = jnp.broadcast_to(box[None, :], boxes.shape)
+    inter = rect_intersection_area(b, boxes)
+    union = box[2] * box[3] + boxes[:, 2] * boxes[:, 3] - inter
+    return inter / jnp.maximum(union, _EPS)
+
+
+def _bev5(boxes7):
+    return boxes7[..., jnp.array([0, 1, 3, 4, 6])]
+
+
+def boxes_iou3d(boxes_a, boxes_b):
+    """Elementwise 3D IoU of aligned (N, 7) box arrays -> (N,).
+
+    Matches boxes_iou3d_gpu's diagonal use in the E2E IOULoss
+    (loss_utils.py:585-594): z is the box center, height dz.
+    """
+    inter_bev = rect_intersection_area(_bev5(boxes_a), _bev5(boxes_b))
+    za1 = boxes_a[..., 2] - boxes_a[..., 5] * 0.5
+    za2 = boxes_a[..., 2] + boxes_a[..., 5] * 0.5
+    zb1 = boxes_b[..., 2] - boxes_b[..., 5] * 0.5
+    zb2 = boxes_b[..., 2] + boxes_b[..., 5] * 0.5
+    overlap_z = jnp.clip(jnp.minimum(za2, zb2) - jnp.maximum(za1, zb1), min=0.0)
+    inter = inter_bev * overlap_z
+    vol_a = boxes_a[..., 3] * boxes_a[..., 4] * boxes_a[..., 5]
+    vol_b = boxes_b[..., 3] * boxes_b[..., 4] * boxes_b[..., 5]
+    return inter / jnp.maximum(vol_a + vol_b - inter, _EPS)
