@@ -1,0 +1,107 @@
+"""SpMiddleResNetFHD equivalent: sparse 3D ResNet middle extractor.
+
+Stage layout mirrors the reference backbone
+(/root/reference/det3d/models/backbones/scn.py:97-192):
+
+  conv_input: SubM 3^3, Cin -> 16
+  conv1: 2x SparseBasicBlock(16)                 @ full res
+  conv2: SparseConv s2 16->32 + 2x block         @ 1/2
+  conv3: SparseConv s2 32->64 + 2x block         @ 1/4
+  conv4: SparseConv s2 64->128 (z-pad per extra_sp_shape) + 2x block @ 1/8
+  extra_conv: SparseConv (3,1,1) s(2,1,1) p0 128->128  (z squeeze)
+  -> dense (B, nz', ny, nx, 128) -> (B, ny, nx, nz'*128)
+
+Input sparse shape is the voxel grid reversed (z, azimuth, range) plus
+``extra_sp_shape`` padding rows ([1, 0, 0] default, scn.py:107,167).
+
+Output layout is NHWC: (B, n_az/8, n_r/8, 256) — the torch reference's
+(B, C*D, H, W) with channels last.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import numpy as np
+
+from .registry import BACKBONES
+from .sparse import (
+    SparseGrid,
+    SparseBasicBlock,
+    SparseDownBlock,
+    SubMBlock,
+    build_subm_neighbor_map,
+    sparse_to_dense,
+)
+
+
+@BACKBONES.register_module(name="SpMiddleResNetFHD")
+class SpMiddleResNetFHD(nn.Module):
+    num_input_features: int = 7
+    ds_factor: int = 8
+    extra_sp_shape: Sequence[int] = (1, 0, 0)
+    # per-stage voxel capacities (full, 1/2, 1/4, 1/8); tuned so drop rate
+    # is ~0 for the flagship waymo polar config
+    caps: Sequence[int] = (0, 0, 0, 0)
+
+    @nn.compact
+    def __call__(self, voxel_features, coords, mask, input_shape,
+                 train: bool = True):
+        """
+        Args:
+          voxel_features: (B, N, C) per-voxel features (mean VFE output)
+          coords: (B, N, 3) int32 (z, y=azimuth, x=range), sorted by linear id
+          mask: (B, N) bool
+          input_shape: static (n_r, n_az, n_z) grid (pre-reversal, as in the
+            reference's ``example['shape']``)
+        Returns:
+          bev: (B, n_az/8, n_r/8, 2*128) dense BEV map
+          multi_scale: dict of SparseGrid per stage (for seg heads)
+        """
+        n_r, n_az, n_z = (int(s) for s in input_shape)
+        ez, ey, ex = self.extra_sp_shape
+        shape = (n_z + ez, n_az + ey, n_r + ex)
+        n = voxel_features.shape[1]
+        caps = [c or n for c in self.caps]
+
+        grid = SparseGrid(voxel_features, coords, mask, shape)
+
+        nmap0 = jax.vmap(
+            lambda c, m: build_subm_neighbor_map(c, m, shape)
+        )(grid.coords, grid.mask)
+
+        x = SubMBlock(16, name="conv_input")(
+            grid.features, nmap0, grid.mask, train
+        )
+        for i in range(2):
+            x = SparseBasicBlock(16, name=f"conv1_{i}")(x, nmap0, grid.mask, train)
+        grid = grid._replace(features=x)
+        conv1 = grid
+
+        grid = SparseDownBlock(32, cap=caps[1], name="conv2")(grid, train)
+        conv2 = grid
+        grid = SparseDownBlock(64, cap=caps[2], name="conv3")(grid, train)
+        conv3 = grid
+
+        # conv4 z-padding depends on extra_sp_shape (scn.py:140-148)
+        zpad = 0 if ez else 1
+        grid = SparseDownBlock(
+            128, padding=(zpad, 1, 1), cap=caps[3], name="conv4"
+        )(grid, train)
+        conv4 = grid
+
+        grid = SparseDownBlock(
+            128, kernel=(3, 1, 1), stride=(2, 1, 1), padding=(0, 0, 0),
+            cap=caps[3], num_res=0, name="extra_conv",
+        )(grid, train)
+
+        dense = sparse_to_dense(grid)  # (B, nz', ny, nx, 128)
+        b, nz, ny, nx, c = dense.shape
+        # channel fold matching torch's view(N, C*D, H, W) on (N, C, D, H, W):
+        # merged channel index = c * nz + z (C outer, D inner)
+        bev = dense.transpose(0, 2, 3, 4, 1).reshape(b, ny, nx, c * nz)
+
+        multi_scale = {
+            "conv1": conv1, "conv2": conv2, "conv3": conv3, "conv4": conv4,
+        }
+        return bev, multi_scale

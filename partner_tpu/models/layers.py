@@ -1,0 +1,137 @@
+"""Shared flax building blocks: masked batch norm, conv blocks, MLP, droppath.
+
+Norm semantics follow the reference defaults: BatchNorm(eps=1e-3,
+momentum=0.01) (scn.py:66, rpn.py:45). ``momentum`` in torch is the update
+fraction; flax's BatchNorm ``momentum`` is the retain fraction, so 0.01
+becomes 0.99 here.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+BN_MOMENTUM = 0.99  # torch momentum 0.01
+BN_EPS = 1e-3
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid rows of a padded (..., N, C) buffer.
+
+    Replaces torch BN1d over spconv's ragged active-voxel features
+    (scn.py:66-75) for fixed-capacity padded voxel lists: statistics are
+    computed over rows where ``mask`` is True only.
+    """
+
+    use_running_average: bool = False
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average=None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask[..., None].astype(x.dtype)
+            n = jnp.maximum(m.sum(), 1.0)
+            mean = (x * m).sum(axis=tuple(range(x.ndim - 1))) / n
+            var = ((x - mean) ** 2 * m).sum(axis=tuple(range(x.ndim - 1))) / n
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y * mask[..., None].astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """Dense-tensor BatchNorm with reference eps/momentum defaults."""
+
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=use_ra, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(x)
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding="SAME",
+            use_bias=self.use_bias,
+        )(x)
+        x = BatchNorm(use_running_average=not train)(x)
+        return nn.relu(x)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (fc-act-drop-fc-drop); set_transformer.py:37-53."""
+
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.out)(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth on the residual branch (per sample)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return x * mask / keep
+
+
+class PosEmbedMLP(nn.Module):
+    """Relative-position bias MLP: (..., 2) coords -> (..., num_heads).
+
+    Mirrors the Conv1d(2->16)-BN-ReLU-Conv1d(16->heads) stacks used across
+    the reference attention modules (set_transformer.py:88-92,201-205;
+    sw2votev4_util.py:58-60). Conv1d k=1 == Dense over the channel dim.
+    """
+
+    num_heads: int
+    hidden: int = 16
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, rel, train: bool = True):
+        x = nn.Dense(self.hidden)(rel)
+        if self.use_bn:
+            x = BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.num_heads)(x)
