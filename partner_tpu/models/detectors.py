@@ -1,0 +1,230 @@
+"""Detector assemblies: VoxelNet (CenterPoint-style) and VoxelNetV3 (PARTNER).
+
+flax re-engineering of /root/reference/det3d/models/detectors/voxelnet.py.
+A detector is a flax module built from registry cfg dicts (reader /
+backbone / neck / bbox_head), wrapped by :class:`Detector`, a thin pure
+driver that mirrors the reference call contract:
+
+  det = build_detector(cfg.model, train_cfg, test_cfg)
+  variables = det.init(rng, example)
+  losses = det.loss(variables, example, rng)      # jittable
+  preds  = det.predict(variables, example)        # jittable, NMS'd output
+
+``example`` is the fixed-shape batch from the data pipeline:
+  features (B, N, C) or voxels (B, N, K, C) + num_points, coords (B, N, 3),
+  voxel_mask (B, N), and training targets (global_box, votemap, hm, ...).
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.center_coder import CenterCoder
+from ..core.geometry import bev_cell_centers
+from ..losses.set_crit import SetCriterion
+from .registry import BACKBONES, BBOX_HEADS, DETECTORS, NECKS, READERS, build_from_cfg
+from .set_transformer import SetBlockStack
+
+
+def _grid_spec(cfg):
+    vg = cfg["voxel_generator"]
+    pc_range = tuple(vg["range"])
+    voxel_size = tuple(vg["voxel_size"])
+    grid = tuple(
+        int(round((pc_range[3 + i] - pc_range[i]) / voxel_size[i]))
+        for i in range(3)
+    )
+    return grid, pc_range, voxel_size
+
+
+class VoxelNetModule(nn.Module):
+    """Backbone + (optional SetBlock stack) + neck + head, NHWC."""
+
+    reader_cfg: Any
+    backbone_cfg: Any
+    neck_cfg: Any
+    head_cfg: Any
+    grid_size: Tuple[int, int, int]
+    pc_range: Tuple[float, ...]
+    out_size_factor: int = 8
+    with_set_attention: bool = False
+    set_cfg: Optional[Dict[str, Any]] = None
+
+    def setup(self):
+        self.reader = build_from_cfg(dict(self.reader_cfg), READERS)
+        self.backbone = build_from_cfg(dict(self.backbone_cfg), BACKBONES)
+        self.neck = build_from_cfg(dict(self.neck_cfg), NECKS)
+        head_cfg = dict(self.head_cfg)
+        head_cfg.setdefault("grid_size", self.grid_size)
+        head_cfg.setdefault("pc_range", self.pc_range)
+        head_cfg.setdefault("out_size_factor", self.out_size_factor)
+        self.bbox_head = build_from_cfg(head_cfg, BBOX_HEADS)
+
+        if self.with_set_attention:
+            voxel_size = tuple(
+                (self.pc_range[3 + i] - self.pc_range[i]) / self.grid_size[i]
+                for i in range(3)
+            )
+            n_r = self.grid_size[0] // self.out_size_factor
+            n_az = self.grid_size[1] // self.out_size_factor
+            self.bev_pos = jnp.asarray(
+                bev_cell_centers(
+                    (n_r, n_az), voxel_size, self.pc_range,
+                    self.out_size_factor, "cylinder", center_offset=0.5,
+                )[..., :2]
+            )
+            set_cfg = dict(self.set_cfg or {})
+            self.attns = SetBlockStack(
+                depth=set_cfg.get("set_depth", 2),
+                num_heads=set_cfg.get("set_num_heads", 4),
+                num_keypoints=set_cfg.get("set_h", 4),
+                range_window=set_cfg.get("set_w", 8),
+                drop=set_cfg.get("set_drop", 0.1),
+                attn_drop=set_cfg.get("set_attn_drop", 0.1),
+                drop_path=set_cfg.get("set_drop_path", 0.1),
+            )
+
+    def __call__(self, example, train: bool = True):
+        if "voxels" in example:  # hard-voxelized path: (B, N, K, C)
+            features = self.reader(example["voxels"], example["num_points"])
+        else:  # dynamic path: mean features precomputed on device
+            features = self.reader(example["features"])
+
+        bev, _ = self.backbone(
+            features, example["coords"], example["voxel_mask"],
+            self.grid_size, train=train,
+        )  # (B, n_az/8, n_r/8, C)
+
+        if self.with_set_attention:
+            x = bev.transpose(0, 2, 1, 3)  # (B, n_r, n_az, C)
+            pos = jnp.broadcast_to(self.bev_pos[None], x.shape[:3] + (2,))
+            x = self.attns(x, pos, deterministic=not train, train=train)
+            bev = x.transpose(0, 2, 1, 3)
+
+        x = self.neck(bev, train=train)
+        return self.bbox_head(x, train=train)
+
+
+class Detector:
+    """Pure driver around the flax module + loss criterion + decode."""
+
+    def __init__(self, module: VoxelNetModule, criterion=None, test_cfg=None):
+        self.module = module
+        self.criterion = criterion
+        self.test_cfg = dict(test_cfg or {})
+
+    def init(self, rng, example):
+        return self.module.init(rng, example, train=False)
+
+    def apply(self, variables, example, train=False, rngs=None,
+              mutable=False):
+        return self.module.apply(
+            variables, example, train=train, rngs=rngs, mutable=mutable
+        )
+
+    def loss(self, variables, example, rng=None, train=True):
+        """Forward + criterion. Returns (loss_dict, new_batch_stats)."""
+        rngs = {"dropout": rng} if rng is not None else None
+        preds, updates = self.module.apply(
+            variables, example, train=train, rngs=rngs,
+            mutable=["batch_stats"] if train else [],
+        )
+        flat = _flatten_preds_static(preds, self.module, variables)
+        gt = example["global_box"]  # (B, M, 8): boxes7 + class(1-based)
+        gt_mask = example["global_box_mask"]
+        gt_boxes = gt[..., :7]
+        gt_classes = (gt[..., 7] - 1).astype(jnp.int32)
+        votemap = example.get("votemap_flat")
+        ld = self.criterion(flat, gt_boxes, jnp.maximum(gt_classes, 0),
+                            gt_mask, votemap)
+        return ld, updates
+
+    def predict(self, variables, example):
+        preds = self.module.apply(variables, example, train=False)
+        head_mod = self.module.bind(variables)
+        boxes, scores = head_mod.bbox_head.decode(
+            preds,
+            iou_factor=self.test_cfg.get("iou_factor", 1.0),
+            rectify=self.test_cfg.get("rectify", False),
+        )
+        nms_cfg = self.test_cfg.get("nms", {})
+        return head_mod.bbox_head.post_process(
+            boxes, scores,
+            self.test_cfg.get("score_threshold", 0.1),
+            self.test_cfg.get(
+                "post_center_limit_range", [-80, -80, -10, 80, 80, 10]
+            ),
+            nms_cfg.get("nms_iou_threshold", 0.7),
+            nms_cfg.get("nms_pre_max_size", 4096),
+            nms_cfg.get("nms_post_max_size", 500),
+        )
+
+
+def _flatten_preds_static(preds, module, variables):
+    from .e2e_head import E2ESWVoteHead
+
+    bound = module.bind(variables)
+    return bound.bbox_head.flatten_preds(preds)
+
+
+@DETECTORS.register_module(name="VoxelNetV3")
+def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
+                      part_head=None, pretrained=None, train_cfg=None,
+                      test_cfg=None):
+    """PARTNER detector factory (detector cfg -> Detector)."""
+    grid, pc_range, _ = _grid_spec(bbox_head)
+    osf = bbox_head.get("out_size_factor", 8)
+
+    head_cfg = {
+        "type": "E2ESWVoteHead",
+        "in_channels": bbox_head.get("in_channels", 512),
+        "num_classes": bbox_head["HEAD_CONFIG"].get("num_classes", 1),
+        "kernel_size": bbox_head["HEAD_CONFIG"].get("kernel_size", 3),
+        "window_size": bbox_head["HEAD_CONFIG"].get("window_size", 7),
+        "sl_depth": bbox_head["HEAD_CONFIG"].get("sl_depth", [2])[0]
+        if isinstance(bbox_head["HEAD_CONFIG"].get("sl_depth", [2]), (list, tuple))
+        else bbox_head["HEAD_CONFIG"].get("sl_depth", 2),
+        "iou_head": bbox_head["HEAD_CONFIG"].get("iou_loss", True),
+        "init_bias": bbox_head["HEAD_CONFIG"].get("init_bias", -2.19),
+        "grid_size": grid,
+        "pc_range": pc_range,
+        "out_size_factor": osf,
+        "voxel_shape": bbox_head.get("voxel_shape", "cylinder"),
+    }
+
+    module = VoxelNetModule(
+        reader_cfg=dict(reader),
+        backbone_cfg=dict(backbone),
+        neck_cfg={k: v for k, v in dict(neck).items()
+                  if not k.startswith("set_") and k != "logger"},
+        head_cfg=head_cfg,
+        grid_size=grid,
+        pc_range=pc_range,
+        out_size_factor=osf,
+        with_set_attention=True,
+        set_cfg={k: v for k, v in dict(neck).items() if k.startswith("set_")},
+    )
+
+    coder_cfg = bbox_head.get("CODER_CONFIG", {})
+    coder = CenterCoder(
+        code_size=coder_cfg.get("code_size", 7),
+        encode_angle_by_sincos=coder_cfg.get("encode_angle_by_sincos", True),
+        rectify=coder_cfg.get("rectify", False),
+    )
+    sc = bbox_head.get("SET_CRIT_CONFIG", {})
+    mc = bbox_head.get("MATCHER_CONFIG", {})
+    criterion = SetCriterion(
+        box_coder=coder,
+        weight_dict=sc.get("weight_dict", {"loss_ce": 1, "loss_bbox": 2}),
+        losses=sc.get("losses", ["loss_ce", "loss_bbox"]),
+        sigma=sc.get("sigma", 3.0),
+        code_weights=tuple(sc.get("code_weights", (1.0,) * 8)),
+        gamma=sc.get("gamma", 2.0),
+        alpha=sc.get("alpha", 0.25),
+        matcher_weights=mc.get("weight_dict"),
+    )
+    tc = dict(test_cfg or {})
+    tc.setdefault("iou_factor", bbox_head["HEAD_CONFIG"].get("iou_factor", 1))
+    return Detector(module, criterion, tc)

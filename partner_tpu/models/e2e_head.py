@@ -1,0 +1,233 @@
+"""E2ESWVoteHead — PARTNER's instance-aware geometric detection head.
+
+Re-implements the *intended* head of
+/root/reference/det3d/models/bbox_heads/e2e_swv_head.py:22-476 (the shipped
+constructor is dead on arrival — see SURVEY.md section 0). Maps are NHWC
+(B, H=azimuth, W=range, C).
+
+Pipeline (forward, e2e_swv_head.py:152-173):
+  votes = vote_head(x)           2-ch cartesian center offsets
+  vote_cls = vote_cls_head(x)    1-ch objectness
+  feat = SwinVoteTransformer(x, pos_embed=cart cell grid,
+                             voted_embed=[votes, vote_cls])
+  hm / reg / height / dim / rot / iou <- convs on feat
+
+Loss: SetCriterion over auction/Hungarian matching with host-precomputed
+votemaps (see partner_tpu.losses.set_crit).
+
+Decode (e2e_swv_head.py:316-360): sigmoid hm * ((iou+1)/2)^iou_factor,
+absolute xy = reg + offset grid, exp dims, atan2 rot (+ center azimuth when
+``rectify``), then score/range masking and device rotated NMS.
+"""
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import bev_cell_centers, wrap_angle_pi
+from ..ops.nms import rotate_nms_pcdet
+from .layers import BatchNorm
+from .registry import BBOX_HEADS
+from .swin_vote import SwinVoteTransformer
+
+
+class ConvHead(nn.Module):
+    hidden: int
+    out: int
+    kernel: int = 3
+    init_bias: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = (self.kernel, self.kernel)
+        x = nn.Conv(self.hidden, k, padding=self.kernel // 2)(x)
+        x = nn.relu(x)
+        bias_init = (
+            nn.initializers.constant(self.init_bias)
+            if self.init_bias is not None else nn.initializers.zeros
+        )
+        return nn.Conv(self.out, k, padding=self.kernel // 2,
+                       bias_init=bias_init)(x)
+
+
+class ConvBNHead(nn.Module):
+    hidden: int
+    out: int
+    kernel: int = 3
+    init_bias: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=True)(x)
+        x = BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        k = (self.kernel, self.kernel)
+        bias_init = (
+            nn.initializers.constant(self.init_bias)
+            if self.init_bias is not None else nn.initializers.zeros
+        )
+        return nn.Conv(self.out, k, padding=self.kernel // 2,
+                       bias_init=bias_init)(x)
+
+
+@BBOX_HEADS.register_module(name="E2ESWVoteHead")
+class E2ESWVoteHead(nn.Module):
+    in_channels: int = 512
+    num_classes: int = 1
+    kernel_size: int = 3
+    window_size: int = 7
+    sl_depth: int = 2
+    num_heads: int = 4
+    mlp_ratio: float = 1.0
+    iou_head: bool = True
+    init_bias: float = -2.19
+    encode_angle_by_sincos: bool = True
+    # polar grid spec for the offset grid
+    grid_size: Tuple[int, int, int] = (1152, 2048, 40)
+    pc_range: Tuple[float, ...] = (0.3, -3.14368, -2.0, 75.18, 3.14368, 4.0)
+    out_size_factor: int = 8
+    voxel_shape: str = "cylinder"
+
+    def setup(self):
+        n_r = self.grid_size[0] // self.out_size_factor
+        n_az = self.grid_size[1] // self.out_size_factor
+        voxel_size = (
+            (self.pc_range[3] - self.pc_range[0]) / self.grid_size[0],
+            (self.pc_range[4] - self.pc_range[1]) / self.grid_size[1],
+        )
+        # (n_r, n_az, 4) [x, y, rho, phi] with +0.5 cell centers
+        # (e2e_swv_head.py:175-197 _generate_offset_grid)
+        cells = bev_cell_centers(
+            (n_r, n_az), voxel_size, self.pc_range, self.out_size_factor,
+            self.voxel_shape, center_offset=0.5,
+        )
+        # head maps are (az, r): transpose
+        self.offset_grid = jnp.asarray(
+            cells[..., :2].transpose(1, 0, 2)
+        )  # (n_az, n_r, 2)
+
+        half = self.in_channels // 2
+        self.vote_head = ConvHead(64, 2, self.kernel_size, name="vote_head")
+        self.vote_cls_head = ConvBNHead(
+            half, 1, self.kernel_size, name="vote_cls_head"
+        )
+        self.layer = SwinVoteTransformer(
+            embed_dim=half, depth=self.sl_depth, num_heads=self.num_heads,
+            window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+            name="layer",
+        )
+        self.cls_head = ConvBNHead(
+            half, self.num_classes, self.kernel_size,
+            init_bias=self.init_bias, name="cls_head",
+        )
+        code = 7 + (1 if self.encode_angle_by_sincos else 0)
+        self.bbox_head = ConvHead(64, code, self.kernel_size, name="bbox_head")
+        if self.iou_head:
+            self.iou_head_mod = ConvHead(64, 1, self.kernel_size,
+                                         name="iou_head")
+
+    def get_proper_xy(self, xy_maps):
+        """Add the cartesian cell-center grid to (B, H, W, 2) offsets."""
+        return xy_maps + self.offset_grid[None]
+
+    def __call__(self, x, train: bool = True):
+        """x: (B, n_az, n_r, in_channels) BEV feature map."""
+        det = not train
+        votes = self.vote_head(x)  # (B, H, W, 2)
+        vote_cls = self.vote_cls_head(x, train)  # (B, H, W, 1)
+        voted_embed = jnp.concatenate([votes, vote_cls], axis=-1)
+        pos_embed = jnp.broadcast_to(
+            self.offset_grid[None], x.shape[:3] + (2,)
+        )
+        feat = self.layer(x, pos_embed, voted_embed, deterministic=det)
+
+        out = {
+            "pred_centers": votes,
+            "pred_vote_cls": vote_cls,
+            "hm": self.cls_head(feat, train),
+        }
+        boxes = self.bbox_head(feat)
+        out["reg"] = boxes[..., 0:2]
+        out["height"] = boxes[..., 2:3]
+        out["dim"] = boxes[..., 3:6]
+        out["rot"] = boxes[..., 6:8]
+        if self.iou_head:
+            out["iou"] = self.iou_head_mod(feat)
+        return out
+
+    def flatten_preds(self, preds):
+        """NHWC maps -> flattened (B, N, .) dicts for the set criterion.
+
+        pred_boxes live in the coder's encoded space:
+        [abs_x, abs_y, z, log-dims..., cos, sin] (reg shifted by the offset
+        grid; e2e_swv_head.py:215-246).
+        """
+        b, h, w, _ = preds["hm"].shape
+        n = h * w
+        reg_abs = self.get_proper_xy(preds["reg"])
+        centers_abs = self.get_proper_xy(preds["pred_centers"])
+        anno = jnp.concatenate(
+            [reg_abs, preds["height"], preds["dim"], preds["rot"]], axis=-1
+        )
+        out = {
+            "pred_logits": preds["hm"].reshape(b, n, -1),
+            "pred_boxes": anno.reshape(b, n, -1),
+            "pred_centers": centers_abs.reshape(b, n, 2),
+            "pred_vote_cls": preds["pred_vote_cls"].reshape(b, n, 1),
+        }
+        if "iou" in preds:
+            out["pred_ious"] = preds["iou"].reshape(b, n, 1)
+        return out
+
+    def decode(self, preds, iou_factor=1.0, rectify=False):
+        """-> (boxes (B, N, 7), scores (B, N, ncls))."""
+        b, h, w, ncls = preds["hm"].shape
+        n = h * w
+        hm = jax.nn.sigmoid(preds["hm"]).reshape(b, n, ncls)
+        dims = jnp.exp(preds["dim"]).reshape(b, n, 3)
+        rot = jnp.arctan2(preds["rot"][..., 1], preds["rot"][..., 0]).reshape(b, n)
+        hei = preds["height"].reshape(b, n)
+        xy = self.get_proper_xy(preds["reg"]).reshape(b, n, 2)
+
+        if "iou" in preds:
+            iou = jnp.clip((preds["iou"].reshape(b, n) + 1.0) * 0.5, 0.0, 1.0)
+            hm = hm * jnp.power(iou, iou_factor)[..., None]
+
+        if rectify:
+            azs = jnp.arctan2(xy[..., 1], xy[..., 0])
+            rot = wrap_angle_pi(rot + azs)
+
+        boxes = jnp.concatenate(
+            [xy, hei[..., None], dims, rot[..., None]], axis=-1
+        )
+        return boxes, hm
+
+    @staticmethod
+    def post_process(boxes, scores, score_threshold, post_center_range,
+                     nms_iou_threshold, nms_pre, nms_post):
+        """Masked decode outputs -> fixed-size NMS'd detections per sample.
+
+        Returns dict of (B, nms_post, ...) arrays + validity mask.
+        """
+
+        def one(bx, sc):
+            cls_score = sc.max(-1)
+            label = sc.argmax(-1)
+            m = cls_score > score_threshold
+            m &= jnp.all(bx[:, :3] >= jnp.asarray(post_center_range[:3]), -1)
+            m &= jnp.all(bx[:, :3] <= jnp.asarray(post_center_range[3:]), -1)
+            masked_scores = jnp.where(m, cls_score, -jnp.inf)
+            keep, kmask = rotate_nms_pcdet(
+                bx, masked_scores, nms_iou_threshold, nms_pre, nms_post
+            )
+            return {
+                "box3d_lidar": bx[keep],
+                "scores": cls_score[keep],
+                "label_preds": label[keep],
+                "mask": kmask & (masked_scores[keep] > -jnp.inf),
+            }
+
+        return jax.vmap(one)(boxes, scores)

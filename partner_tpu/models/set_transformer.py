@@ -1,0 +1,254 @@
+"""PARTNER global representation re-alignment attention (SetBlock stack).
+
+TPU-native re-implementation of
+/root/reference/det3d/models/utils/set_transformer.py:56-535. The module
+operates on the polar BEV map (B, H=range, W=azimuth, C) and per-cell
+cartesian positions, and routes global context through H' keypoints per
+azimuth column:
+
+  1. keypoint init — channel-mean saliency, local-max NMS along range,
+     top-H' per column (set_transformer.py:134-148);
+  2. SectorAttention — keypoints query their azimuth column (144 cells),
+     with a relative-position bias MLP over cartesian deltas (:262-354);
+  3. RangeAttention — keypoint <-> keypoint window attention over
+     (H', range_window) windows (:169-259);
+  4. SectorAttentionV2 — cells query their column's keypoints (broadcast
+     back, :357-440);
+  5. residual + MLP, with alternating azimuth shift for cyclic coverage.
+
+Deliberate deviation from the reference: SectorAttention's torch code
+reshapes the (B, L, C) keypoint tensor with ``view(B, C, H, W)``
+(set_transformer.py:333-336), silently scrambling the token/channel layout;
+here queries keep their true (keypoint, column) correspondence.
+
+Everything is dense window einsum — XLA fuses the QK/AV matmuls onto the
+MXU; there is no gather-heavy inner loop beyond the single top-k.
+"""
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import DropPath, Mlp, PosEmbedMLP
+
+
+def _split_heads(x, nh):
+    *lead, c = x.shape
+    return x.reshape(*lead, nh, c // nh)
+
+
+class SectorAttention(nn.Module):
+    """Keypoints (B, Hk, W, C) attend to their azimuth column (B, H, W, C)."""
+
+    num_heads: int
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, s, x, s_pos, x_pos, deterministic=True, train=True):
+        c = s.shape[-1]
+        nh = self.num_heads
+        shortcut = s
+        q = _split_heads(nn.Dense(c, name="proj_q")(s), nh)  # (B,Hk,W,nh,d)
+        k = _split_heads(nn.Dense(c, name="proj_k")(x), nh)  # (B,H,W,nh,d)
+        v = _split_heads(nn.Dense(c, name="proj_v")(x), nh)
+
+        scale = (c // nh) ** -0.5
+        attn = jnp.einsum("bqwhd,bkwhd->bwhqk", q * scale, k)
+
+        rel = s_pos[:, :, None] - x_pos[:, None, :]  # (B,Hk,H,W,2)
+        bias = PosEmbedMLP(nh, name="pos_mlp")(rel, train)  # (B,Hk,H,W,nh)
+        attn = attn + bias.transpose(0, 3, 4, 1, 2)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bwhqk,bkwhd->bqwhd", attn, v)
+        out = out.reshape(s.shape)
+        out = nn.Dense(c, name="proj")(out)
+        s = shortcut + DropPath(self.drop_path)(out, deterministic)
+        s = s + DropPath(self.drop_path)(
+            Mlp(int(c * self.mlp_ratio), c, self.drop)(
+                nn.LayerNorm(name="norm2")(s), deterministic
+            ),
+            deterministic,
+        )
+        return s
+
+
+class RangeAttention(nn.Module):
+    """Keypoint self-attention over (Hk, range_window) windows."""
+
+    num_heads: int
+    window_w: int = 8
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, s, s_pos, deterministic=True, train=True):
+        b, hk, w, c = s.shape
+        nh, ww = self.num_heads, self.window_w
+        nw = w // ww
+        shortcut = s
+        y = nn.LayerNorm(name="norm1")(s)
+
+        def to_windows(t):
+            # (B, Hk, W, C) -> (B, nw, Hk*ww, C), tokens h-major within window
+            t = t.reshape(b, hk, nw, ww, -1)
+            return t.transpose(0, 2, 1, 3, 4).reshape(b, nw, hk * ww, -1)
+
+        yw = to_windows(y)
+        pw = to_windows(s_pos)  # (B, nw, T, 2)
+
+        q = _split_heads(nn.Dense(c, name="proj_q")(yw), nh)
+        k = _split_heads(nn.Dense(c, name="proj_k")(yw), nh)
+        v = _split_heads(nn.Dense(c, name="proj_v")(yw), nh)
+        scale = (c // nh) ** -0.5
+        attn = jnp.einsum("bnqhd,bnkhd->bnhqk", q * scale, k)
+
+        rel = pw[:, :, :, None] - pw[:, :, None, :]  # (B,nw,T,T,2)
+        bias = PosEmbedMLP(nh, name="pos_mlp")(rel, train)
+        attn = attn + bias.transpose(0, 1, 4, 2, 3)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(b, nw, hk * ww, c)
+        # back to (B, Hk, W, C)
+        out = out.reshape(b, nw, hk, ww, c).transpose(0, 2, 1, 3, 4).reshape(
+            b, hk, w, c
+        )
+        out = nn.Dense(c, name="proj")(out)
+        s = shortcut + DropPath(self.drop_path)(out, deterministic)
+        s = s + DropPath(self.drop_path)(
+            Mlp(int(c * self.mlp_ratio), c, self.drop)(
+                nn.LayerNorm(name="norm2")(s), deterministic
+            ),
+            deterministic,
+        )
+        return s
+
+
+class SectorBroadcast(nn.Module):
+    """Cells (B, H, W, C) query their column's keypoints (B, Hk, W, C).
+
+    No residual/out-proj inside, matching SectorAttentionV2 (:430-440).
+    """
+
+    num_heads: int
+    attn_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, s, x, s_pos, x_pos, deterministic=True, train=True):
+        c = x.shape[-1]
+        nh = self.num_heads
+        q = _split_heads(nn.Dense(c, name="proj_q")(x), nh)  # (B,H,W,nh,d)
+        k = _split_heads(nn.Dense(c, name="proj_k")(s), nh)  # (B,Hk,W,nh,d)
+        v = _split_heads(nn.Dense(c, name="proj_v")(s), nh)
+        scale = (c // nh) ** -0.5
+        attn = jnp.einsum("bqwhd,bkwhd->bwhqk", q * scale, k)
+        rel = x_pos[:, :, None] - s_pos[:, None, :]  # (B,H,Hk,W,2)
+        bias = PosEmbedMLP(nh, name="pos_mlp")(rel, train)
+        attn = attn + bias.transpose(0, 3, 4, 1, 2)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bwhqk,bkwhd->bqwhd", attn, v)
+        return out.reshape(x.shape)
+
+
+class SetAttention(nn.Module):
+    """One re-alignment round: keypoint init + 3 attentions + MLP."""
+
+    num_heads: int = 4
+    num_keypoints: int = 4       # H' per azimuth column
+    range_window: int = 8        # azimuth columns per RangeAttention window
+    shift: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, pos, deterministic=True, train=True):
+        b, h, w, c = x.shape
+        shift = (self.range_window // 2) if self.shift else 0
+
+        shortcut = x
+        x = nn.LayerNorm(name="norm1")(x)
+        if shift:
+            x = jnp.roll(x, -shift, axis=2)
+            pos = jnp.roll(pos, -shift, axis=2)
+
+        # keypoint init: saliency -> local-max along range -> top-k per column
+        sal = x.mean(-1)  # (B, H, W)
+        inner = jax.lax.reduce_window(
+            sal, -jnp.inf, jax.lax.max, (1, 3, 1), (1, 1, 1), "VALID"
+        )
+        local_max = jnp.zeros_like(sal).at[:, 1:-1, :].set(inner)
+        sal = jnp.where(local_max == sal, sal, 0.0)
+
+        _, top_idx = jax.lax.top_k(
+            sal.transpose(0, 2, 1), self.num_keypoints
+        )  # (B, W, Hk) indices into range axis
+        top_idx = top_idx.transpose(0, 2, 1)  # (B, Hk, W)
+
+        s = jnp.take_along_axis(x, top_idx[..., None], axis=1)  # (B,Hk,W,C)
+        s_pos = jnp.take_along_axis(pos, top_idx[..., None], axis=1)
+
+        s = SectorAttention(
+            self.num_heads, self.drop, self.attn_drop, self.drop_path,
+            self.mlp_ratio, name="sector_attn1",
+        )(s, x, s_pos, pos, deterministic, train)
+        s = RangeAttention(
+            self.num_heads, self.range_window, self.drop, self.attn_drop,
+            self.drop_path, self.mlp_ratio, name="range_attn",
+        )(s, s_pos, deterministic, train)
+        x = SectorBroadcast(self.num_heads, self.attn_drop, name="sector_attn2")(
+            s, x, s_pos, pos, deterministic, train
+        )
+
+        if shift:
+            x = jnp.roll(x, shift, axis=2)
+
+        x = nn.Dense(c, name="proj")(x)
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        x = x + DropPath(self.drop_path)(
+            Mlp(int(c * self.mlp_ratio), c, self.drop)(
+                nn.LayerNorm(name="norm2")(x), deterministic
+            ),
+            deterministic,
+        )
+        return x
+
+
+class SetBlockStack(nn.Module):
+    """Depth-N SetAttention stack with alternating shift (VoxelNetV3's
+    self.attns, detectors/voxelnet.py:192-199)."""
+
+    depth: int = 2
+    num_heads: int = 4
+    num_keypoints: int = 4
+    range_window: int = 8
+    drop: float = 0.1
+    attn_drop: float = 0.1
+    drop_path: float = 0.1
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, pos, deterministic=True, train=True):
+        for i in range(self.depth):
+            x = SetAttention(
+                num_heads=self.num_heads,
+                num_keypoints=self.num_keypoints,
+                range_window=self.range_window,
+                shift=(i % 2 == 1),
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=self.drop_path,
+                mlp_ratio=self.mlp_ratio,
+                name=f"block{i}",
+            )(x, pos, deterministic, train)
+        return x

@@ -1,0 +1,128 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from partner_tpu.core import targets
+from partner_tpu.core.center_coder import CenterCoder
+from partner_tpu.losses.set_crit import SetCriterion
+from partner_tpu.models.e2e_head import E2ESWVoteHead
+
+# small polar grid: (n_r, n_az, n_z) = (64, 128, 16), stride 8 -> (8, 16)
+GRID = (64, 128, 16)
+PR = (0.3, -3.14368, -2.0, 36.3, 3.14368, 2.8)
+
+
+def make_head():
+    return E2ESWVoteHead(
+        in_channels=32, num_classes=1, grid_size=GRID, pc_range=PR,
+        out_size_factor=8, window_size=4, sl_depth=2, num_heads=2,
+    )
+
+
+def init_head(rng):
+    head = make_head()
+    x = jnp.asarray(rng.randn(2, 16, 8, 32).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), x, train=False)
+    return head, variables, x
+
+
+class TestE2EHeadForward:
+    def test_output_keys_shapes(self, rng):
+        head, variables, x = init_head(rng)
+        out = head.apply(variables, x, train=False)
+        assert out["hm"].shape == (2, 16, 8, 1)
+        assert out["reg"].shape == (2, 16, 8, 2)
+        assert out["height"].shape == (2, 16, 8, 1)
+        assert out["dim"].shape == (2, 16, 8, 3)
+        assert out["rot"].shape == (2, 16, 8, 2)
+        assert out["iou"].shape == (2, 16, 8, 1)
+        assert out["pred_centers"].shape == (2, 16, 8, 2)
+
+    def test_init_bias_on_hm(self, rng):
+        head, variables, x = init_head(rng)
+        out = head.apply(variables, jnp.zeros_like(x), train=False)
+        # with zero input, hm logits ~ init_bias -2.19 -> sigmoid ~0.1
+        hm = np.asarray(jax.nn.sigmoid(out["hm"]))
+        assert 0.05 < hm.mean() < 0.2
+
+    def test_decode_geometry(self, rng):
+        head, variables, x = init_head(rng)
+        out = head.apply(variables, x, train=False)
+        boxes, scores = head.apply(
+            variables, out, method=E2ESWVoteHead.decode
+        )
+        assert boxes.shape == (2, 128, 7)
+        assert scores.shape == (2, 128, 1)
+        # decoded xy must lie near the polar grid footprint
+        rho = np.hypot(np.asarray(boxes[..., 0]), np.asarray(boxes[..., 1]))
+        assert rho.max() < 50.0
+
+
+class TestE2ELoss:
+    def test_loss_decreases_on_overfit(self, rng):
+        head, variables, x = init_head(rng)
+        coder = CenterCoder(code_size=7, encode_angle_by_sincos=True)
+        crit = SetCriterion(
+            box_coder=coder,
+            weight_dict={"loss_ce": 1, "loss_bbox": 2, "loss_vote": 0.25,
+                         "loss_vote_cls": 1, "loss_iou": 2},
+            losses=["loss_ce", "loss_bbox", "loss_vote", "loss_vote_cls",
+                    "loss_iou"],
+        )
+        gt_boxes = np.zeros((2, 4, 7), np.float32)
+        gt_boxes[:, 0] = [10.0, 2.0, 0.2, 4.5, 2.0, 1.6, 0.3]
+        gt_boxes[:, 1] = [20.0, -6.0, -0.1, 4.0, 1.9, 1.5, -1.2]
+        gt_mask = np.zeros((2, 4), bool)
+        gt_mask[:, :2] = True
+        gt_classes = np.zeros((2, 4), np.int32)
+        votemaps = np.stack([
+            targets.draw_votemap(
+                gt_boxes[b][gt_mask[b]], gt_classes[b][gt_mask[b]], 1,
+                GRID, None, PR, feature_map_stride=8,
+            )
+            for b in range(2)
+        ])
+        votemap_flat = jnp.asarray(votemaps.reshape(2, -1, 5))
+
+        def loss_fn(params_all):
+            out = head.apply(params_all, x, train=False)
+            preds = head.apply(params_all, out,
+                               method=E2ESWVoteHead.flatten_preds)
+            ld = crit(preds, jnp.asarray(gt_boxes),
+                      jnp.asarray(gt_classes), jnp.asarray(gt_mask),
+                      votemap_flat)
+            return ld["loss"], ld
+
+        (l0, ld0), g = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        assert np.isfinite(float(l0))
+        for k in ["loss_ce", "loss_bbox", "loss_vote", "loss_vote_cls",
+                  "loss_iou"]:
+            assert np.isfinite(float(ld0[k])), k
+
+        # a few SGD steps must reduce the loss
+        import optax
+        opt = optax.adam(1e-3)
+        state = opt.init(variables)
+        v = variables
+        for _ in range(15):
+            (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(v)
+            updates, state = opt.update(g, state)
+            v = optax.apply_updates(v, updates)
+        (l1, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(v)
+        assert float(l1) < float(l0)
+
+    def test_empty_scene(self, rng):
+        head, variables, x = init_head(rng)
+        coder = CenterCoder()
+        crit = SetCriterion(
+            box_coder=coder,
+            weight_dict={"loss_ce": 1, "loss_bbox": 2},
+            losses=["loss_ce", "loss_bbox"],
+        )
+        out = head.apply(variables, x, train=False)
+        preds = head.apply(variables, out, method=E2ESWVoteHead.flatten_preds)
+        ld = crit(
+            preds, jnp.zeros((2, 4, 7)), jnp.zeros((2, 4), jnp.int32),
+            jnp.zeros((2, 4), bool),
+        )
+        assert np.isfinite(float(ld["loss"]))
