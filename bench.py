@@ -1,0 +1,133 @@
+"""Benchmark: flagship PARTNER inference frames/sec on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full device pipeline per frame — dynamic voxelization from a
+padded point buffer, sparse backbone, re-alignment attention, RPN, E2E head,
+decode + rotated NMS — batch 1, middle-third wall-clock window (the
+reference's dist_test timing protocol, tools/dist_test.py:155-168).
+
+Baseline anchor: 13 FPS (CenterPoint-Voxel one-stage on TITAN RTX,
+reference configs/waymo/README.md:5-17 — the in-repo number closest to the
+flagship; the BASELINE.json target is >2x a V100-class chip).
+
+Env knobs: BENCH_SCALE=full|half|tiny (default full), BENCH_ITERS (default 30),
+BENCH_DTYPE=float32|bfloat16.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_FPS = 13.0
+
+
+def main():
+    scale = os.environ.get("BENCH_SCALE", "full")
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from partner_tpu.models import build_detector
+    from partner_tpu.ops import voxelize
+    from partner_tpu.train.config import Config
+    import __graft_entry__ as ge
+
+    cfg = Config.fromfile(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "configs/waymo/waymo_partner_36epoch.py")
+    )
+    if scale == "tiny":
+        from partner_tpu import testing
+
+        det = build_detector(testing.tiny_model_cfg(), test_cfg=dict(
+            score_threshold=0.1,
+            post_center_limit_range=[-40, -40, -5, 40, 40, 5],
+            nms=dict(nms_pre_max_size=256, nms_post_max_size=32,
+                     nms_iou_threshold=0.7),
+        ))
+        grid = testing.TINY_GRID
+        pc_range = testing.TINY_PR
+        n_points, n_vox = 20000, 8192
+    else:
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        grid = tuple(cfg.grid_size)
+        pc_range = cfg.voxel_generator["range"]
+        if scale == "half":
+            n_points, n_vox = 90000, 60000
+        else:
+            n_points, n_vox = 180000, 150000
+
+    rng = np.random.RandomState(0)
+    c = det.module.reader_cfg.get("num_input_features", 7)
+
+    # synthetic sweep: realistic point count, uniform polar spread
+    rho = rng.uniform(pc_range[0] + 0.2, pc_range[3] - 0.2, n_points)
+    phi = rng.uniform(pc_range[1], pc_range[4], n_points)
+    z = rng.uniform(pc_range[2], pc_range[5], n_points)
+    cols = [rho, phi, z, rho * np.cos(phi), rho * np.sin(phi)]
+    while len(cols) < c:
+        cols.append(rng.rand(n_points))
+    pts = np.stack(cols[:c], 1).astype(np.float32)
+    pad = np.zeros((int(n_points * 1.2), c), np.float32)
+    pad[:n_points] = pts[:, :c]
+    mask = np.zeros((len(pad),), bool)
+    mask[:n_points] = True
+
+    voxel_size = jnp.asarray(
+        [(pc_range[3 + i] - pc_range[i]) / grid[i] for i in range(3)],
+        dtype=jnp.float32,
+    )
+    pr = jnp.asarray(pc_range, dtype=jnp.float32)
+    pad_j, mask_j = jnp.asarray(pad), jnp.asarray(mask)
+
+    vox = voxelize.dynamic_voxelize(pad_j, mask_j, voxel_size, pr, grid,
+                                    max_voxels=n_vox)
+    init_example = {
+        "features": vox["features"][None, :2048],
+        "coords": vox["coords"][None, :2048],
+        "voxel_mask": vox["mask"][None, :2048],
+    }
+    variables = det.init(jax.random.PRNGKey(0), init_example)
+
+    @jax.jit
+    def frame(variables, points, pmask):
+        v = voxelize.dynamic_voxelize(points, pmask, voxel_size, pr, grid,
+                                      max_voxels=n_vox)
+        example = {
+            "features": v["features"][None],
+            "coords": v["coords"][None],
+            "voxel_mask": v["mask"][None],
+        }
+        return det.predict(variables, example)
+
+    # compile + warmup
+    out = frame(variables, pad_j, mask_j)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(frame(variables, pad_j, mask_j))
+        times.append(time.perf_counter() - t0)
+
+    third = max(1, len(times) // 3)
+    window = times[third : 2 * third] or times
+    fps = 1.0 / (sum(window) / len(window))
+
+    print(json.dumps({
+        "metric": "waymo_partner_infer_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,10 @@ class VoxelNetModule(nn.Module):
     out_size_factor: int = 8
     with_set_attention: bool = False
     set_cfg: Optional[Dict[str, Any]] = None
+    # optional PartitionSpec for the (B, n_az, n_r, C) BEV map — sharding the
+    # azimuth axis over the 'azimuth' mesh axis makes XLA spatially partition
+    # the neck convs with automatic halo exchange (SP; SURVEY.md 5.7)
+    bev_pspec: Any = None
 
     def setup(self):
         self.reader = build_from_cfg(dict(self.reader_cfg), READERS)
@@ -103,16 +107,18 @@ class VoxelNetModule(nn.Module):
             x = self.attns(x, pos, deterministic=not train, train=train)
             bev = x.transpose(0, 2, 1, 3)
 
+        if self.bev_pspec is not None:
+            bev = jax.lax.with_sharding_constraint(bev, self.bev_pspec)
+
         x = self.neck(bev, train=train)
         return self.bbox_head(x, train=train)
 
 
 class Detector:
-    """Pure driver around the flax module + loss criterion + decode."""
+    """Pure driver around the flax module: init / forward plumbing."""
 
-    def __init__(self, module: VoxelNetModule, criterion=None, test_cfg=None):
+    def __init__(self, module: VoxelNetModule, test_cfg=None):
         self.module = module
-        self.criterion = criterion
         self.test_cfg = dict(test_cfg or {})
 
     def init(self, rng, example):
@@ -124,18 +130,33 @@ class Detector:
             variables, example, train=train, rngs=rngs, mutable=mutable
         )
 
-    def loss(self, variables, example, rng=None, train=True):
-        """Forward + criterion. Returns (loss_dict, new_batch_stats)."""
+    def forward(self, variables, example, rng=None, train=True):
         rngs = {"dropout": rng} if rng is not None else None
-        preds, updates = self.module.apply(
+        return self.module.apply(
             variables, example, train=train, rngs=rngs,
             mutable=["batch_stats"] if train else [],
         )
-        flat = _flatten_preds_static(preds, self.module, variables)
-        gt = example["global_box"]  # (B, M, 8): boxes7 + class(1-based)
+
+
+class E2EDetector(Detector):
+    """VoxelNetV3 + E2ESWVoteHead + SetCriterion."""
+
+    def __init__(self, module, criterion, test_cfg=None):
+        super().__init__(module, test_cfg)
+        self.criterion = criterion
+
+    def loss(self, variables, example, rng=None, train=True):
+        preds, updates = self.forward(variables, example, rng, train)
+        bound = self.module.bind(variables)
+        flat = bound.bbox_head.flatten_preds(preds)
+        # global_box (B, M, 8|10): [x,y,z,dims,(vx,vy,)yaw,class(1-based)];
+        # velocity dropped like the reference (e2e_swv_head.py:206-207)
+        gt = example["global_box"]
         gt_mask = example["global_box_mask"]
-        gt_boxes = gt[..., :7]
-        gt_classes = (gt[..., 7] - 1).astype(jnp.int32)
+        gt_boxes = jnp.concatenate(
+            [gt[..., :6], gt[..., -2:-1]], axis=-1
+        )
+        gt_classes = (gt[..., -1] - 1).astype(jnp.int32)
         votemap = example.get("votemap_flat")
         ld = self.criterion(flat, gt_boxes, jnp.maximum(gt_classes, 0),
                             gt_mask, votemap)
@@ -162,17 +183,55 @@ class Detector:
         )
 
 
-def _flatten_preds_static(preds, module, variables):
-    from .e2e_head import E2ESWVoteHead
+class CenterPointDetector(Detector):
+    """VoxelNet + CenterHead family (FastFocal + peak regression)."""
 
-    bound = module.bind(variables)
-    return bound.bbox_head.flatten_preds(preds)
+    def __init__(self, module, code_weights, weight, dataset="waymo",
+                 voxel_size=None, test_cfg=None):
+        super().__init__(module, test_cfg)
+        self.code_weights = tuple(code_weights)
+        self.weight = weight
+        self.dataset = dataset
+        self.voxel_size = voxel_size
+
+    def loss(self, variables, example, rng=None, train=True):
+        from .center_head import center_head_loss
+
+        preds, updates = self.forward(variables, example, rng, train)
+        ld = center_head_loss(preds, example, self.code_weights, self.weight,
+                              self.dataset)
+        return ld, updates
+
+    def predict(self, variables, example):
+        from .center_head import center_head_decode, center_head_post_process
+
+        preds = self.module.apply(variables, example, train=False)
+        outs = []
+        offset = 0
+        for task_preds in preds["det_preds"]:
+            hm = task_preds["hm"]
+            boxes, scores = center_head_decode(
+                task_preds, (hm.shape[1], hm.shape[2]), self.voxel_size,
+                self.module.pc_range, self.module.out_size_factor,
+                voxel_shape="cylinder",
+                rectify=self.test_cfg.get("rectify", False),
+            )
+            outs.append(
+                center_head_post_process(boxes, scores, self.test_cfg,
+                                         class_offset=offset)
+            )
+            offset += hm.shape[-1]
+        if len(outs) == 1:
+            return outs[0]
+        return {
+            k: jnp.concatenate([o[k] for o in outs], axis=1) for k in outs[0]
+        }
 
 
 @DETECTORS.register_module(name="VoxelNetV3")
 def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
                       part_head=None, pretrained=None, train_cfg=None,
-                      test_cfg=None):
+                      test_cfg=None, bev_pspec=None):
     """PARTNER detector factory (detector cfg -> Detector)."""
     grid, pc_range, _ = _grid_spec(bbox_head)
     osf = bbox_head.get("out_size_factor", 8)
@@ -205,6 +264,7 @@ def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
         out_size_factor=osf,
         with_set_attention=True,
         set_cfg={k: v for k, v in dict(neck).items() if k.startswith("set_")},
+        bev_pspec=bev_pspec,
     )
 
     coder_cfg = bbox_head.get("CODER_CONFIG", {})
@@ -227,4 +287,48 @@ def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
     )
     tc = dict(test_cfg or {})
     tc.setdefault("iou_factor", bbox_head["HEAD_CONFIG"].get("iou_factor", 1))
-    return Detector(module, criterion, tc)
+    return E2EDetector(module, criterion, tc)
+
+
+@DETECTORS.register_module(name="VoxelNet")
+def build_voxelnet(reader, backbone, neck, bbox_head, seg_head=None,
+                   part_head=None, pretrained=None, train_cfg=None,
+                   test_cfg=None, bev_pspec=None):
+    """CenterPoint-style detector factory (VoxelNet + CenterHead family)."""
+    grid, pc_range, voxel_size = _grid_spec(bbox_head)
+    osf = bbox_head.get("out_size_factor", 8)
+
+    head_cfg = dict(bbox_head)
+    head_cfg.pop("voxel_shape", None)
+    head_cfg.pop("code_weights", None)
+    head_cfg.pop("weight", None)
+    head_cfg.pop("dataset", None)
+    head_cfg["tasks"] = tuple(
+        {"class_names": tuple(t["class_names"])} for t in bbox_head["tasks"]
+    )
+    if "common_heads" in head_cfg:
+        head_cfg["common_heads"] = tuple(
+            sorted((k, tuple(v)) for k, v in
+                   dict(bbox_head["common_heads"]).items())
+        )
+
+    module = VoxelNetModule(
+        reader_cfg=dict(reader),
+        backbone_cfg=dict(backbone),
+        neck_cfg={k: v for k, v in dict(neck).items()
+                  if not k.startswith("set_") and k != "logger"},
+        head_cfg=head_cfg,
+        grid_size=grid,
+        pc_range=pc_range,
+        out_size_factor=osf,
+        with_set_attention=False,
+        bev_pspec=bev_pspec,
+    )
+    return CenterPointDetector(
+        module,
+        code_weights=bbox_head.get("code_weights", [1.0] * 10),
+        weight=bbox_head.get("weight", 0.25),
+        dataset=bbox_head.get("dataset", "waymo"),
+        voxel_size=voxel_size,
+        test_cfg=dict(test_cfg or {}),
+    )

@@ -1,0 +1,108 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from partner_tpu import testing
+from partner_tpu.core.targets import CenterTargetAssigner
+from partner_tpu.models import build_detector
+
+PR = testing.TINY_PR
+GRID = testing.TINY_GRID
+VS = testing.TINY_VS
+
+TASKS = [dict(num_class=2, class_names=["car", "pedestrian"])]
+
+
+def nusc_style_cfg():
+    return dict(
+        type="VoxelNet",
+        reader=dict(type="DynamicVoxelEncoderV1", num_input_features=5),
+        backbone=dict(type="SpMiddleResNetFHD", num_input_features=5),
+        neck=dict(
+            type="RPN", layer_nums=[2, 2], ds_layer_strides=[1, 2],
+            ds_num_filters=[32, 64], us_layer_strides=[1, 2],
+            us_num_filters=[32, 32], num_input_features=32,
+        ),
+        bbox_head=dict(
+            type="CenterHeadSinglePos",
+            in_channels=64,
+            tasks=TASKS,
+            dataset="nuscenes",
+            weight=0.5,
+            code_weights=[1.5, 1.5, 1.0, 1.0, 1.0, 1.0, 0.5, 0.5, 1.0, 1.0],
+            common_heads={"reg": (2, 2), "rot_vel": (2, 2), "height": (1, 2),
+                          "dim": (3, 2)},
+            share_conv_channel=64,
+            voxel_shape="cylinder",
+            voxel_generator=dict(range=PR, voxel_size=VS, nsectors=1),
+            out_size_factor=8,
+        ),
+    )
+
+
+def make_center_example(rng, b=2):
+    ex = testing.make_example(rng, b=b, n_points=2500, cap=4096)
+    assigner = CenterTargetAssigner(
+        tasks=TASKS, out_size_factor=8, voxel_shape="cylinder"
+    )
+    per_key = {"hm": [], "anno_box": [], "ind": [], "mask": [], "cat": []}
+    gt = np.asarray(ex["global_box"])
+    for i in range(b):
+        valid = gt[i, :, 7] > 0
+        boxes = np.zeros((valid.sum(), 10), np.float32)
+        boxes[:, :7] = gt[i, valid, :7]
+        boxes[:, -1] = gt[i, valid, 6]  # yaw last for 10-col layout
+        classes = rng.randint(1, 3, len(boxes))
+        t = assigner.assign(boxes, classes, GRID, VS, PR)
+        for k in per_key:
+            per_key[k].append(t[k])
+    # stack: list over batch of lists over tasks -> per-task batched arrays
+    n_tasks = 1
+    for k in per_key:
+        per_key[k] = [
+            jnp.asarray(np.stack([per_key[k][i][t] for i in range(b)]))
+            for t in range(n_tasks)
+        ]
+    # NHWC heatmaps
+    per_key["hm"] = [h.transpose(0, 2, 3, 1) for h in per_key["hm"]]
+    ex.update(per_key)
+    return ex
+
+
+@pytest.fixture(scope="module")
+def det_vars_ex():
+    rng = np.random.RandomState(11)
+    det = build_detector(nusc_style_cfg(), test_cfg=dict(
+        score_threshold=0.1, per_class_nms=True,
+        post_center_limit_range=[-40, -40, -5, 40, 40, 5],
+        nms=dict(nms_pre_max_size=256, nms_post_max_size=16,
+                 nms_iou_threshold=0.2),
+        rectify=True,
+    ))
+    ex = make_center_example(rng)
+    variables = det.init(jax.random.PRNGKey(0), ex)
+    return det, variables, ex
+
+
+class TestCenterHeadSinglePos:
+    def test_forward_keys(self, det_vars_ex):
+        det, variables, ex = det_vars_ex
+        preds = det.apply(variables, ex, train=False)
+        p = preds["det_preds"][0]
+        assert p["hm"].shape[-1] == 2
+        assert p["reg"].shape[-1] == 2
+        assert p["rot"].shape[-1] == 2 and p["vel"].shape[-1] == 2
+
+    def test_loss_finite(self, det_vars_ex):
+        det, variables, ex = det_vars_ex
+        ld, _ = det.loss(variables, ex)
+        assert np.isfinite(float(ld["loss"]))
+        assert np.isfinite(float(ld["hm_loss"][0]))
+        assert np.isfinite(float(ld["loc_loss"][0]))
+
+    def test_predict(self, det_vars_ex):
+        det, variables, ex = det_vars_ex
+        out = det.predict(variables, ex)
+        assert out["box3d_lidar"].shape == (2, 16, 9)
+        assert out["label_preds"].max() < 2
