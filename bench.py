@@ -107,19 +107,28 @@ def main():
         }
         return det.predict(variables, example)
 
-    # compile + warmup
-    out = frame(variables, pad_j, mask_j)
-    jax.block_until_ready(out)
+    def sync(out):
+        # On the remote-TPU backend block_until_ready does not synchronize;
+        # a tiny host readback is the only reliable fence.
+        np.asarray(out["scores"][0, :1])
 
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(frame(variables, pad_j, mask_j))
-        times.append(time.perf_counter() - t0)
+    # compile + warmup (drains any queued work)
+    sync(frame(variables, pad_j, mask_j))
+    sync(frame(variables, pad_j, mask_j))
 
-    third = max(1, len(times) // 3)
-    window = times[third : 2 * third] or times
-    fps = 1.0 / (sum(window) / len(window))
+    # middle-third protocol over back-to-back frames: enqueue a window of
+    # frames, fence once at the end; queue back-pressure serializes them so
+    # window time / count = steady-state frame time
+    third = max(1, iters // 3)
+    for _ in range(third):
+        out = frame(variables, pad_j, mask_j)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(third):
+        out = frame(variables, pad_j, mask_j)
+    sync(out)
+    elapsed = time.perf_counter() - t0
+    fps = third / elapsed
 
     print(json.dumps({
         "metric": "waymo_partner_infer_fps",

@@ -1,0 +1,181 @@
+"""Greedy velocity tracker (CenterPoint-style), Waymo + nuScenes variants.
+
+Pure-numpy re-implementation of
+/root/reference/tools/waymo_tracking/tracker.py:9-128 and
+tools/nusc_tracking/pub_tracker.py: detections are back-projected by
+velocity * time_lag and greedily matched to live tracks by center distance
+with per-class gates; unmatched detections above the score threshold open
+new tracks; unmatched tracks persist ``max_age`` frames.
+"""
+
+import numpy as np
+
+WAYMO_TRACKING_NAMES = ["VEHICLE", "PEDESTRIAN", "CYCLIST"]
+
+NUSC_TRACKING_NAMES = [
+    "bicycle", "bus", "car", "motorcycle", "pedestrian", "trailer", "truck",
+]
+
+# nuScenes per-class center-distance gates (m), CenterPoint defaults
+NUSC_CLS_VELOCITY_ERROR = {
+    "car": 4, "truck": 4, "bus": 5.5, "trailer": 3, "pedestrian": 1,
+    "motorcycle": 13, "bicycle": 3,
+}
+
+
+def greedy_assignment(dist):
+    """Row-greedy nearest matching (tracker.py:9-18)."""
+    matched = []
+    if dist.shape[1] == 0:
+        return np.zeros((0, 2), np.int32)
+    dist = dist.copy()
+    for i in range(dist.shape[0]):
+        j = dist[i].argmin()
+        if dist[i][j] < 1e16:
+            dist[:, j] = 1e18
+            matched.append([i, j])
+    return np.asarray(matched, np.int32).reshape(-1, 2)
+
+
+class GreedyTracker:
+    def __init__(self, tracking_names, max_dist, max_age=3, score_thresh=0.1):
+        self.tracking_names = list(tracking_names)
+        self.max_dist = dict(max_dist)
+        self.max_age = max_age
+        self.score_thresh = score_thresh
+        self.reset()
+
+    def reset(self):
+        self.id_count = 0
+        self.tracks = []
+
+    def step(self, results, time_lag):
+        """results: list of dicts with keys translation (3,), velocity (2,),
+        detection_name, score. Returns active tracks for this frame."""
+        dets_in = []
+        for det in results:
+            if det["detection_name"] not in self.tracking_names:
+                continue
+            d = dict(det)
+            d["ct"] = np.asarray(det["translation"][:2], np.float32)
+            d["tracking"] = (
+                -np.asarray(det.get("velocity", (0, 0))[:2], np.float32)
+                * time_lag
+            )
+            d["label_preds"] = self.tracking_names.index(
+                det["detection_name"]
+            )
+            dets_in.append(d)
+        results = dets_in
+        if not results:
+            # age out all tracks
+            self.tracks = [
+                t for t in self.tracks if t["age"] < self.max_age
+            ]
+            for t in self.tracks:
+                t["age"] += 1
+                t["active"] = 0
+            return []
+
+        n = len(results)
+        m = len(self.tracks)
+        dets = np.stack([d["ct"] + d["tracking"] for d in results])
+        item_cat = np.array([d["label_preds"] for d in results])
+        track_cat = np.array([t["label_preds"] for t in self.tracks]
+                             ).reshape(1, -1)
+        max_diff = np.array(
+            [self.max_dist[d["detection_name"]] for d in results], np.float32
+        )
+
+        if m:
+            centers = np.stack([t["ct"] for t in self.tracks])
+            dist = np.linalg.norm(
+                centers[None] - dets[:, None], axis=2
+            )  # (N, M)
+            invalid = (dist > max_diff[:, None]) | (
+                item_cat[:, None] != track_cat
+            )
+            dist = dist + invalid * 1e18
+            matched = greedy_assignment(dist)
+        else:
+            matched = np.zeros((0, 2), np.int32)
+
+        unmatched_dets = [d for d in range(n) if d not in matched[:, 0]]
+        unmatched_tracks = [t for t in range(m) if t not in matched[:, 1]]
+
+        ret = []
+        for i, j in matched:
+            track = results[i]
+            track["tracking_id"] = self.tracks[j]["tracking_id"]
+            track["age"] = 1
+            track["active"] = self.tracks[j]["active"] + 1
+            ret.append(track)
+        for i in unmatched_dets:
+            track = results[i]
+            if track["score"] > self.score_thresh:
+                self.id_count += 1
+                track["tracking_id"] = self.id_count
+                track["age"] = 1
+                track["active"] = 1
+                ret.append(track)
+        for i in unmatched_tracks:
+            track = self.tracks[i]
+            if track["age"] < self.max_age:
+                track["age"] += 1
+                track["active"] = 0
+                # coast: advance by the (negated) back-projection
+                track["ct"] = track["ct"] - track["tracking"]
+                ret.append(track)
+        self.tracks = ret
+        return [t for t in ret if t["active"] > 0]
+
+
+def waymo_tracker(max_age=3, score_thresh=0.75,
+                  max_dist=None):
+    return GreedyTracker(
+        WAYMO_TRACKING_NAMES,
+        max_dist or {"VEHICLE": 2.5, "PEDESTRIAN": 1.0, "CYCLIST": 1.5},
+        max_age=max_age, score_thresh=score_thresh,
+    )
+
+
+def nusc_tracker(max_age=3, score_thresh=0.1):
+    return GreedyTracker(
+        NUSC_TRACKING_NAMES, NUSC_CLS_VELOCITY_ERROR,
+        max_age=max_age, score_thresh=score_thresh,
+    )
+
+
+def convert_detection_to_global_box(detections, infos):
+    """Lidar-frame detections -> global frame via per-frame pose
+    (waymo_tracking/test.py:212-255 semantics). infos must carry a 4x4
+    ``pose``; returns per-frame dicts ordered by timestamp."""
+    frames = []
+    infos_by_token = {i["token"]: i for i in infos}
+    for token, det in detections.items():
+        info = infos_by_token[token]
+        pose = np.asarray(info.get("pose", np.eye(4)))
+        boxes = np.asarray(det["box3d_lidar"])
+        if boxes.size:
+            centers = boxes[:, :3]
+            hom = np.concatenate(
+                [centers, np.ones((len(centers), 1))], axis=1
+            )
+            centers_g = (pose @ hom.T).T[:, :3]
+            vel = boxes[:, 6:8] if boxes.shape[1] > 7 else np.zeros(
+                (len(boxes), 2)
+            )
+            vel_g = vel @ pose[:2, :2].T
+        else:
+            centers_g = np.zeros((0, 3))
+            vel_g = np.zeros((0, 2))
+        frames.append({
+            "token": token,
+            "timestamp": info.get("timestamp", 0),
+            "global_boxes": centers_g,
+            "velocity": vel_g,
+            "scores": np.asarray(det["scores"]),
+            "label_preds": np.asarray(det["label_preds"]),
+        })
+    frames.sort(key=lambda f: f["timestamp"])
+    return frames

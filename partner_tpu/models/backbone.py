@@ -31,6 +31,7 @@ from .sparse import (
     SparseDownBlock,
     SubMBlock,
     build_subm_neighbor_map,
+    build_subm_neighbor_map_dense,
     sparse_to_dense,
 )
 
@@ -43,6 +44,9 @@ class SpMiddleResNetFHD(nn.Module):
     # per-stage voxel capacities (full, 1/2, 1/4, 1/8); tuned so drop rate
     # is ~0 for the flagship waymo polar config
     caps: Sequence[int] = (0, 0, 0, 0)
+    # 'dense': scatter/gather index tables (fast, grid-sized int32 buffers);
+    # 'binary': searchsorted (no large buffers; for huge grids / big batch)
+    index_method: str = "dense"
 
     @nn.compact
     def __call__(self, voxel_features, coords, mask, input_shape,
@@ -66,8 +70,11 @@ class SpMiddleResNetFHD(nn.Module):
 
         grid = SparseGrid(voxel_features, coords, mask, shape)
 
+        subm_fn = (build_subm_neighbor_map_dense
+                   if self.index_method == "dense"
+                   else build_subm_neighbor_map)
         nmap0 = jax.vmap(
-            lambda c, m: build_subm_neighbor_map(c, m, shape)
+            lambda c, m: subm_fn(c, m, shape)
         )(grid.coords, grid.mask)
 
         x = SubMBlock(16, name="conv_input")(
@@ -78,21 +85,23 @@ class SpMiddleResNetFHD(nn.Module):
         grid = grid._replace(features=x)
         conv1 = grid
 
-        grid = SparseDownBlock(32, cap=caps[1], name="conv2")(grid, train)
+        grid = SparseDownBlock(32, cap=caps[1], index_method=self.index_method, name="conv2")(grid, train)
         conv2 = grid
-        grid = SparseDownBlock(64, cap=caps[2], name="conv3")(grid, train)
+        grid = SparseDownBlock(64, cap=caps[2], index_method=self.index_method, name="conv3")(grid, train)
         conv3 = grid
 
         # conv4 z-padding depends on extra_sp_shape (scn.py:140-148)
         zpad = 0 if ez else 1
         grid = SparseDownBlock(
-            128, padding=(zpad, 1, 1), cap=caps[3], name="conv4"
+            128, padding=(zpad, 1, 1), cap=caps[3],
+            index_method=self.index_method, name="conv4",
         )(grid, train)
         conv4 = grid
 
         grid = SparseDownBlock(
             128, kernel=(3, 1, 1), stride=(2, 1, 1), padding=(0, 0, 0),
-            cap=caps[3], num_res=0, name="extra_conv",
+            cap=caps[3], num_res=0, index_method=self.index_method,
+            name="extra_conv",
         )(grid, train)
 
         dense = sparse_to_dense(grid)  # (B, nz', ny, nx, 128)

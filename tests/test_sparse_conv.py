@@ -156,3 +156,53 @@ class TestBackbone:
         assert bev.shape == (1, 32, 18, 256)
         assert set(ms) == {"conv1", "conv2", "conv3", "conv4"}
         assert np.isfinite(np.asarray(bev)).all()
+
+
+class TestDenseIndexing:
+    def test_subm_map_matches_binary(self, rng):
+        shape = (6, 14, 12)
+        feats, coords, mask = make_sparse_sample(rng, shape, 90, 128, 3)
+        a = sparse.build_subm_neighbor_map(
+            jnp.asarray(coords), jnp.asarray(mask), shape
+        )
+        b = sparse.build_subm_neighbor_map_dense(
+            jnp.asarray(coords), jnp.asarray(mask), shape
+        )
+        # sentinel differs only in value domain; both use N
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_downsample_matches_sort_variant(self, rng):
+        shape = (6, 14, 12)
+        feats, coords, mask = make_sparse_sample(rng, shape, 70, 96, 3)
+        oc1, om1 = sparse.downsample_coords(
+            jnp.asarray(coords), jnp.asarray(mask), shape,
+            (3, 3, 3), (2, 2, 2), (1, 1, 1), 128,
+        )
+        oc2, om2 = sparse.downsample_coords_dense(
+            jnp.asarray(coords), jnp.asarray(mask), shape,
+            (3, 3, 3), (2, 2, 2), (1, 1, 1), 128,
+        )
+        np.testing.assert_array_equal(np.asarray(om1), np.asarray(om2))
+        np.testing.assert_array_equal(
+            np.asarray(oc1)[np.asarray(om1)], np.asarray(oc2)[np.asarray(om2)]
+        )
+
+    def test_backbone_methods_agree(self, rng):
+        input_shape = (24, 32, 24)
+        nz, ny, nx = 25, 32, 24
+        feats, coords, mask = make_sparse_sample(rng, (nz, ny, nx), 300, 384, 5)
+        outs = []
+        for method in ("dense", "binary"):
+            model = SpMiddleResNetFHD(num_input_features=5,
+                                      index_method=method)
+            v = model.init(
+                jax.random.PRNGKey(0), jnp.asarray(feats[None]),
+                jnp.asarray(coords[None]), jnp.asarray(mask[None]),
+                input_shape, train=False,
+            )
+            bev, _ = model.apply(
+                v, jnp.asarray(feats[None]), jnp.asarray(coords[None]),
+                jnp.asarray(mask[None]), input_shape, train=False,
+            )
+            outs.append(np.asarray(bev))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)

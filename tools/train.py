@@ -1,0 +1,214 @@
+"""Training CLI — the det3d tools/train.py equivalent.
+
+Usage: python tools/train.py CONFIG [--work_dir D] [--resume_from CKPT]
+       [--total_steps N] [--max_steps_per_epoch N]
+
+Builds detector + dataset from the python-module config, runs the jitted
+one-cycle training loop over a (data,) mesh with auto-resume from
+work_dir/latest, text logging and per-epoch checkpoints.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--work_dir", default=None)
+    p.add_argument("--resume_from", default=None)
+    p.add_argument("--load_from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--total_steps", type=int, default=None)
+    p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument("--max_points", type=int, default=200000)
+    return p.parse_args()
+
+
+def example_to_device(batch, mesh, det, max_objs_votemap=True):
+    """Host batch -> device example: dynamic voxelization happens in-step."""
+    import jax
+    import jax.numpy as jnp
+
+    keep = {
+        "points", "points_mask", "global_box", "global_box_mask",
+        "votemap_flat", "hm", "anno_box", "ind", "mask", "cat",
+    }
+    ex = {}
+    for k, v in batch.items():
+        if k not in keep:
+            continue
+        if isinstance(v, list) and k in ("hm", "anno_box", "ind", "mask", "cat"):
+            ex[k] = [jnp.asarray(x) for x in v]
+        else:
+            ex[k] = jnp.asarray(v)
+    return ex
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from partner_tpu.data import build_dataloader, build_dataset
+    from partner_tpu.models import build_detector
+    from partner_tpu.ops import voxelize
+    from partner_tpu.train.checkpoint import (
+        latest_checkpoint, load_checkpoint, restore_train_state,
+        save_checkpoint,
+    )
+    from partner_tpu.train.config import Config
+    from partner_tpu.train.hooks import (
+        IterTimer, LogBuffer, TextLoggerHook, get_logger,
+    )
+    from partner_tpu.train.optim import build_one_cycle_optimizer, one_cycle_lr
+    from partner_tpu.train.train_state import create_train_state, make_train_step
+
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or cfg.get("work_dir", "./work_dir")
+    os.makedirs(work_dir, exist_ok=True)
+    logger = get_logger(work_dir)
+    logger.info(f"devices: {jax.devices()}")
+
+    det = build_detector(cfg.model, cfg.get("train_cfg"), cfg.get("test_cfg"))
+    dataset = build_dataset(dict(cfg.data["train"]))
+    loader = build_dataloader(
+        dataset, cfg.data["samples_per_gpu"] * jax.local_device_count(),
+        workers_per_gpu=cfg.data.get("workers_per_gpu", 4),
+        max_points=args.max_points,
+    )
+
+    steps_per_epoch = args.max_steps_per_epoch or len(loader)
+    total_epochs = cfg.get("total_epochs", 1)
+    total_steps = args.total_steps or steps_per_epoch * total_epochs
+
+    lr_cfg = dict(cfg.lr_config)
+    tx = build_one_cycle_optimizer(
+        lr_max=lr_cfg.get("lr_max", 3e-3), total_steps=total_steps,
+        wd=dict(cfg.optimizer).get("wd", 0.01),
+        moms=lr_cfg.get("moms", (0.95, 0.85)),
+        div_factor=lr_cfg.get("div_factor", 10.0),
+        pct_start=lr_cfg.get("pct_start", 0.4),
+        grad_clip=dict(cfg.get("optimizer_config", {})).get(
+            "grad_clip", {}
+        ).get("max_norm", 35.0),
+    )
+    lr_sched = one_cycle_lr(
+        lr_cfg.get("lr_max", 3e-3), total_steps,
+        lr_cfg.get("div_factor", 10.0), lr_cfg.get("pct_start", 0.4),
+    )
+
+    vg = dict(cfg.voxel_generator)
+    grid = tuple(
+        int(round((vg["range"][3 + i] - vg["range"][i]) / vg["voxel_size"][i]))
+        for i in range(3)
+    )
+    max_voxels = vg.get("max_voxel_num", 150000)
+    if not isinstance(max_voxels, int):
+        max_voxels = max_voxels[0]
+    voxel_size = jnp.asarray(vg["voxel_size"], dtype=jnp.float32)
+    pc_range = jnp.asarray(vg["range"], dtype=jnp.float32)
+
+    base_step = make_train_step(det, tx)
+
+    def step_with_voxelize(state, ex, rng):
+        def voxelize_one(p, m):
+            v = voxelize.dynamic_voxelize(
+                p, m, voxel_size, pc_range, grid, max_voxels=max_voxels
+            )
+            return v["features"], v["coords"], v["mask"]
+
+        feats, coords, vmask = jax.vmap(voxelize_one)(
+            ex["points"], ex["points_mask"]
+        )
+        dev_ex = dict(ex)
+        dev_ex.pop("points")
+        dev_ex.pop("points_mask")
+        dev_ex.update(features=feats, coords=coords, voxel_mask=vmask)
+        return base_step(state, dev_ex, rng)
+
+    jstep = jax.jit(step_with_voxelize, donate_argnums=(0,))
+
+    # init from first batch
+    it = iter(loader)
+    first = next(it)
+    ex0 = example_to_device(first, None, det)
+    small = {
+        "features": jnp.zeros((1, 256, first["points"].shape[-1])),
+        "coords": jnp.zeros((1, 256, 3), jnp.int32),
+        "voxel_mask": jnp.zeros((1, 256), bool),
+    }
+    variables = det.init(jax.random.PRNGKey(args.seed), small)
+    state = create_train_state(variables, tx)
+
+    resume = args.resume_from or latest_checkpoint(work_dir)
+    start_step = 0
+    if resume:
+        payload, meta = load_checkpoint(resume)
+        state = restore_train_state(state, payload)
+        start_step = int(payload["step"])
+        logger.info(f"resumed from {resume} at step {start_step}")
+    elif args.load_from:
+        payload, _ = load_checkpoint(args.load_from)
+        state = state.replace(
+            params=jax.tree_util.tree_map(
+                lambda t, v: jnp.asarray(v), state.params, payload["params"]
+            )
+        )
+        logger.info(f"loaded weights from {args.load_from}")
+
+    buffer = LogBuffer()
+    text_hook = TextLoggerHook(
+        logger, interval=dict(cfg.get("log_config", {})).get("interval", 5)
+    )
+    timer = IterTimer()
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    step_i = start_step
+    epoch = step_i // max(steps_per_epoch, 1)
+    while step_i < total_steps:
+        loader.set_epoch(epoch)
+        for batch in ([first] if step_i == start_step and epoch == 0 else loader):
+            if step_i >= total_steps:
+                break
+            data_time = timer.lap()
+            ex = example_to_device(batch, None, det)
+            transfer_time = timer.lap()
+            rng, sub = jax.random.split(rng)
+            state, metrics = jstep(state, ex, sub)
+            loss = float(metrics["loss"])
+            forward_time = timer.lap()
+            buffer.update({
+                "data_time": data_time, "transfer_time": transfer_time,
+                "forward_time": forward_time,
+                "time": data_time + transfer_time + forward_time,
+                "loss": loss,
+                **{k: float(v) for k, v in metrics.items()
+                   if k.startswith("loss_")},
+                "grad_norm": float(metrics["grad_norm"]),
+            })
+            text_hook.after_iter(
+                buffer, step_i, epoch, float(lr_sched(step_i)),
+                steps_per_epoch,
+            )
+            step_i += 1
+            if args.max_steps_per_epoch and step_i % steps_per_epoch == 0:
+                break
+        epoch += 1
+        save_checkpoint(
+            work_dir, state,
+            meta=dict(epoch=epoch, step=step_i, config=cfg.text),
+            keep=dict(cfg.get("checkpoint_config", {})).get("keep", 5),
+        )
+        logger.info(f"epoch {epoch} done @ step {step_i}; checkpoint saved")
+
+    logger.info("training complete")
+
+
+if __name__ == "__main__":
+    main()
