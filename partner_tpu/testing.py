@@ -90,6 +90,7 @@ def make_example(rng, b=2, n_points=3000, cap=4096, grid=None, pc_range=None,
     ]
     gt = np.zeros((b, max_objs, 8), np.float32)
     feats, coords, vmask, votemaps = [], [], [], []
+    all_pts, all_pm = [], []
     for i in range(b):
         boxes, cart = synthetic_polar_scene(rng, pc_range, n_points)
         polar = box_np_ops.transform_points(cart[:, :3], "cylinder")
@@ -102,6 +103,8 @@ def make_example(rng, b=2, n_points=3000, cap=4096, grid=None, pc_range=None,
         k = min(len(polar), cap)
         pad[:k] = polar[:k]
         m[:k] = True
+        all_pts.append(pad)
+        all_pm.append(m)
         vox = voxelize.dynamic_voxelize(
             jnp.asarray(pad), jnp.asarray(m),
             jnp.asarray(voxel_size, dtype=jnp.float32),
@@ -116,6 +119,8 @@ def make_example(rng, b=2, n_points=3000, cap=4096, grid=None, pc_range=None,
                                  voxel_size, pc_range, 8)
         )
     ex = {
+        "points": jnp.asarray(np.stack(all_pts)),
+        "points_mask": jnp.asarray(np.stack(all_pm)),
         "features": jnp.stack(feats),
         "coords": jnp.stack(coords),
         "voxel_mask": jnp.stack(vmask),
