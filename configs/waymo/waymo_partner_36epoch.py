@@ -91,7 +91,10 @@ model = dict(
     type="VoxelNetV3",
     pretrained=None,
     reader=dict(type="VoxelFeatureExtractorV3", num_input_features=7),
-    backbone=dict(type="SpMiddleResNetFHD", num_input_features=7, ds_factor=8),
+    # TPU-native dense middle extractor (see partner_tpu/models/backbone_dense.py
+    # for the redesign rationale); the gather-matmul sparse equivalent of the
+    # reference's spconv backbone remains available as type="SpMiddleResNetFHD"
+    backbone=dict(type="PolarDenseFHD", num_input_features=7, ds_factor=8),
     neck=dict(
         type="RPN",
         layer_nums=[5, 5],

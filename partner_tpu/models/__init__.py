@@ -2,7 +2,7 @@ from .registry import (  # noqa: F401
     BACKBONES, BBOX_HEADS, DETECTORS, LOSSES, NECKS, READERS, SEG_HEADS,
     Registry, build_from_cfg,
 )
-from . import backbone, center_head, detectors, e2e_head, pillar, readers, rpn  # noqa: F401
+from . import backbone, backbone_dense, center_head, detectors, e2e_head, pillar, readers, rpn  # noqa: F401
 from . import rpn_stream, seg_head, set_transformer, sparse, swin_vote  # noqa: F401
 
 

@@ -1,0 +1,204 @@
+"""PolarDenseFHD — TPU-native dense middle extractor (flagship backbone).
+
+Role-equivalent to the reference's spconv ``SpMiddleResNetFHD``
+(/root/reference/det3d/models/backbones/scn.py:97-192): polar voxels in,
+stride-8 BEV map out, with the same stage/channel structure from the
+quarter-resolution stage onward (64ch @ 1/4, 128ch @ 1/8, z-squeeze to a
+(B, n_az/8, n_r/8, 2*128) BEV map).
+
+Why not a literal sparse-conv port: on TPU every fine-grained random
+access (27-neighbor gathers, rulebook sorts, per-row scatters) measured
+5-70 ms *per op* at flagship scale (see tools/profile_sparse.py), while
+dense 3D convolutions at C>=64 on <=1M-cell grids run at >100 TFLOP/s on
+the MXU. So this backbone restructures the computation TPU-first:
+
+  1. per-voxel stem MLP (pure matmul) over the full-resolution voxel list
+     — replaces the full/half-res submanifold stages; sub-cell geometry is
+     preserved by decorating each voxel with its fractional offset inside
+     the pooled cell (the PointPillars decoration trick);
+  2. ONE scatter-max pools the voxel features into a dense quarter-res
+     polar canvas (n_z/8, n_az/4, n_r/4, 64) — the only sparse op left;
+  3. dense 3D conv stages mirroring conv3/conv4 of the reference
+     (entry conv + residual blocks, BatchNorm+ReLU), a strided stage to
+     1/8 resolution, and the reference's z-squeeze ``extra_conv``
+     (kernel (3,1,1), stride (2,1,1), scn.py:157-163);
+  4. channel fold to NHWC BEV exactly like the torch ``.dense()`` +
+     ``view(N, C*D, H, W)`` (scn.py:186-191).
+
+The gather-matmul sparse backbone (``backbone.py``) remains available for
+small grids and as the bit-parity reference implementation.
+"""
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .registry import BACKBONES
+
+
+class DenseConvBlock(nn.Module):
+    """3D conv + BN + ReLU."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = "SAME"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(self.features, self.kernel, strides=self.stride,
+                    padding=self.padding, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=jnp.float32)(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class DenseBasicBlock(nn.Module):
+    """Two 3x3x3 convs with residual — the dense analog of the reference's
+    SparseBasicBlock (scn.py:51-95)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        identity = x
+        y = nn.Conv(self.features, (3, 3, 3), use_bias=False,
+                    dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=jnp.float32)(y)
+        y = nn.relu(y).astype(self.dtype)
+        y = nn.Conv(self.features, (3, 3, 3), use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=jnp.float32)(y)
+        return nn.relu(y.astype(self.dtype) + identity)
+
+
+def scatter_canvas(feats, coords, mask, canvas_shape, z_pool, bev_pool,
+                   dtype=jnp.float32):
+    """Scatter-max voxel features into a dense pooled canvas.
+
+    Args:
+      feats: (B, N, C) voxel features.
+      coords: (B, N, 3) int32 full-resolution (z, az, r) coords.
+      mask: (B, N) bool.
+      canvas_shape: static (cz, cy, cx) pooled grid.
+      z_pool / bev_pool: pooling factors from full-res coords.
+    Returns:
+      canvas (B, cz, cy, cx, C), occupancy (B, cz, cy, cx) bool.
+    """
+    cz, cy, cx = canvas_shape
+    cells = cz * cy * cx
+    c = feats.shape[-1]
+
+    def one(f, co, m):
+        lz = co[:, 0] // z_pool
+        ly = co[:, 1] // bev_pool
+        lx = co[:, 2] // bev_pool
+        lin = (lz * cy + ly) * cx + lx
+        lin = jnp.where(m, lin, cells)
+        neg = jnp.finfo(dtype).min
+        canvas = jnp.full((cells + 1, c), neg, dtype).at[lin].max(
+            jnp.where(m[:, None], f, neg).astype(dtype), mode="drop")[:cells]
+        occ = jnp.zeros((cells + 1,), bool).at[lin].set(
+            True, mode="drop")[:cells]
+        canvas = jnp.where(occ[:, None], canvas, 0)
+        return canvas.reshape(cz, cy, cx, c), occ.reshape(cz, cy, cx)
+
+    return jax.vmap(one)(feats, coords, mask)
+
+
+@BACKBONES.register_module(name="PolarDenseFHD")
+class PolarDenseFHD(nn.Module):
+    """Dense TPU middle extractor; see module docstring.
+
+    Attrs mirror the reference registry signature (num_input_features,
+    ds_factor) plus TPU knobs. ds_factor = bev_pool * 2 (the stage-B
+    stride) and must equal 8 for the standard configs.
+    """
+
+    num_input_features: int = 7
+    ds_factor: int = 8
+    bev_pool: int = 4        # az/r pooling into the canvas (1/4 res)
+    z_pool: int = 8          # z pooling into the canvas
+    stem_features: Sequence[int] = (32, 64)
+    stage_a_blocks: int = 1  # residual blocks @ 1/4 res (C=64)
+    stage_b_blocks: int = 2  # residual blocks @ 1/8 res (C=128)
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, voxel_features, coords, mask, input_shape,
+                 train: bool = True):
+        """
+        Args:
+          voxel_features: (B, N, C) per-voxel features (mean VFE output).
+          coords: (B, N, 3) int32 (z, azimuth, range) full-res coords.
+          mask: (B, N) bool.
+          input_shape: static (n_r, n_az, n_z) grid.
+        Returns:
+          bev: (B, n_az/8, n_r/8, C_bev) dense BEV map.
+          multi_scale: dict of dense stage tensors (canvas/stage_a/stage_b).
+        """
+        n_r, n_az, n_z = (int(s) for s in input_shape)
+        assert n_z % self.z_pool == 0 and n_az % self.bev_pool == 0 \
+            and n_r % self.bev_pool == 0, (
+                f"grid {input_shape} not divisible by pools "
+                f"({self.z_pool},{self.bev_pool})")
+        canvas_shape = (n_z // self.z_pool, n_az // self.bev_pool,
+                        n_r // self.bev_pool)
+        dt = self.compute_dtype
+
+        # --- stem: decorated per-voxel MLP (full resolution, pure matmul)
+        frac = (coords.astype(jnp.float32) %
+                jnp.asarray([self.z_pool, self.bev_pool, self.bev_pool],
+                            jnp.float32)) / jnp.asarray(
+                    [self.z_pool, self.bev_pool, self.bev_pool], jnp.float32)
+        x = jnp.concatenate(
+            [voxel_features.astype(jnp.float32), frac - 0.5], axis=-1
+        ).astype(dt)
+        for i, f in enumerate(self.stem_features):
+            x = nn.Dense(f, use_bias=False, dtype=dt, name=f"stem{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=jnp.float32,
+                             name=f"stem_bn{i}")(
+                x * mask[..., None].astype(dt))
+            x = nn.relu(x).astype(dt)
+
+        # --- the one sparse op: pooled scatter into the dense canvas
+        canvas, occ = scatter_canvas(
+            x, coords, mask, canvas_shape, self.z_pool, self.bev_pool,
+            dtype=dt)
+
+        # --- stage A @ 1/4 res, C=64 (the reference's conv3 role)
+        a = DenseConvBlock(self.stem_features[-1], dtype=dt,
+                           name="conv_a")(canvas, train)
+        for i in range(self.stage_a_blocks):
+            a = DenseBasicBlock(self.stem_features[-1], dtype=dt,
+                                name=f"block_a{i}")(a, train)
+
+        # --- stage B @ 1/8 res, C=128 (the reference's conv4 role)
+        b = DenseConvBlock(2 * self.stem_features[-1], stride=(1, 2, 2),
+                           dtype=dt, name="conv_b")(a, train)
+        for i in range(self.stage_b_blocks):
+            b = DenseBasicBlock(2 * self.stem_features[-1], dtype=dt,
+                                name=f"block_b{i}")(b, train)
+
+        # --- z-squeeze: kernel (3,1,1) stride (2,1,1) VALID (scn.py:157-163)
+        e = DenseConvBlock(2 * self.stem_features[-1], kernel=(3, 1, 1),
+                           stride=(2, 1, 1), padding="VALID", dtype=dt,
+                           name="extra_conv")(b, train)
+
+        # --- channel fold: (B, nz', ny, nx, C) -> (B, ny, nx, C*nz')
+        # (C outer, D inner — matches torch view(N, C*D, H, W))
+        bb, nz2, ny, nx, cc = e.shape
+        bev = e.transpose(0, 2, 3, 4, 1).reshape(bb, ny, nx, cc * nz2)
+
+        multi_scale = {"canvas": canvas, "occ": occ, "stage_a": a,
+                       "stage_b": b}
+        return bev.astype(jnp.float32), multi_scale

@@ -40,7 +40,7 @@ def rotated_nms(boxes, scores, iou_threshold, post_max_size):
       keep_idx: (K,) int32 indices into the input (0 for padded slots)
       keep_mask: (K,) bool validity of each output slot
     """
-    from .rotated_iou import rect_intersection_area_sh as rect_intersection_area
+    from .rotated_iou import rect_intersection_area_green as rect_intersection_area
 
     n = boxes.shape[0]
     s = jnp.where(jnp.isfinite(scores), scores, NEG_INF)

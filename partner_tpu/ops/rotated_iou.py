@@ -182,6 +182,108 @@ def rect_intersection_area_sh(box_a, box_b):
     return jnp.where(ok, area, 0.0)
 
 
+_CORNER_TMPL = jnp.asarray(
+    [[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]], jnp.float32
+)  # CCW unit-square corners
+
+
+def _clip_aa(p0, p1, h, eps_par=1e-5, eps_c=1e-4):
+    """Liang-Barsky clip of segments p0->p1 to the AA rect [-h, h].
+
+    p0, p1: (..., E, 2); h: (..., 2) half extents. Returns clip params
+    (t0, t1) in [0, 1] and a per-edge weight: 1 interior, 0.5 for pieces
+    coincident with the rect boundary (within eps_c), 0 outside.
+    Half-weighting coincident pieces makes the Green decomposition exact
+    for degenerate overlaps (identical boxes, shared edges), where both
+    polygons contribute the same segment with equal/opposite orientation.
+    """
+    a = p0
+    d = p1 - p0
+    hi = jnp.broadcast_to(h[..., None, :], a.shape)
+    lo = -hi
+
+    # a parallel edge poses no constraint on its axis when inside the slab
+    # and kills the segment when outside
+    parallel = jnp.abs(d) < eps_par
+    dd = jnp.where(parallel, 1.0, d)
+    t_lo = (lo - a) / dd
+    t_hi = (hi - a) / dd
+    t_in = jnp.minimum(t_lo, t_hi)
+    t_out = jnp.maximum(t_lo, t_hi)
+    outside = (a < lo - eps_c) | (a > hi + eps_c)
+    on_bound = parallel & ~outside & (
+        (jnp.abs(a - lo) <= eps_c) | (jnp.abs(a - hi) <= eps_c)
+    )
+    big = jnp.float32(1e9)
+    t_in = jnp.where(parallel, jnp.where(outside, big, -big), t_in)
+    t_out = jnp.where(parallel, jnp.where(outside, -big, big), t_out)
+    t0 = jnp.clip(jnp.max(t_in, axis=-1), 0.0, 1.0)
+    t1 = jnp.clip(jnp.min(t_out, axis=-1), 0.0, 1.0)
+    valid = t0 < t1
+
+    weight = jnp.where(valid, 1.0, 0.0) * jnp.where(
+        jnp.any(on_bound, axis=-1), 0.5, 1.0)
+    return t0, t1, weight
+
+
+def rect_intersection_area_green(box_a, box_b):
+    """Exact rotated-rect intersection area via Green's theorem.
+
+    Area(A ∩ B) = ½ ∮ (x dy − y dx) over ∂(A∩B), which decomposes into the
+    edges of A clipped inside B plus the edges of B clipped inside A; each
+    straight piece P→Q contributes cross(P, Q) regardless of connectivity.
+    No polygon buffers, no sorting, no compaction — fixed ~300 flops/pair,
+    ~16x less memory traffic than the Sutherland-Hodgman slot-doubling
+    kernel, which is what the O(N2) NMS sweep needs. Boundary-coincident
+    pieces (identical boxes, shared edges) are half-weighted from each side.
+    """
+    # everything is computed in B's local frame; the rotation between the
+    # boxes comes from the ANGLE DIFFERENCE so identical boxes map to
+    # exactly coincident axis-aligned rects (no trig round-trip noise)
+    dth = box_a[..., 4] - box_b[..., 4]
+    c, s = jnp.cos(dth), jnp.sin(dth)
+    cb_, sb_ = jnp.cos(box_b[..., 4]), jnp.sin(box_b[..., 4])
+    dxy = box_a[..., :2] - box_b[..., :2]
+    t_ab = jnp.stack(
+        [dxy[..., 0] * cb_ + dxy[..., 1] * sb_,
+         -dxy[..., 0] * sb_ + dxy[..., 1] * cb_], axis=-1)
+
+    ha = box_a[..., 2:4] * 0.5
+    hb = box_b[..., 2:4] * 0.5
+    ca_loc = _CORNER_TMPL * ha[..., None, :]          # A corners, A frame
+    cb_loc = _CORNER_TMPL * hb[..., None, :]          # B corners, B frame
+
+    def rot(p, c, s):
+        return jnp.stack(
+            [p[..., 0] * c[..., None] - p[..., 1] * s[..., None],
+             p[..., 0] * s[..., None] + p[..., 1] * c[..., None]], axis=-1)
+
+    ca_in_b = rot(ca_loc, c, s) + t_ab[..., None, :]  # A corners, B frame
+    # B corners in A frame: inverse transform
+    t_ba = rot((-t_ab)[..., None, :], c, -s)[..., 0, :]
+    cb_in_a = rot(cb_loc, c, -s) + t_ba[..., None, :]
+
+    # clip A's edges against B (in B frame), B's edges against A (in A
+    # frame); contributions are all evaluated in the COMMON B frame — the
+    # Green integral over open pieces is frame-dependent, only the total
+    # over the closed boundary is invariant
+    a0, a1 = ca_in_b, jnp.roll(ca_in_b, -1, axis=-2)
+    ta0, ta1, wa = _clip_aa(a0, a1, hb)
+    b0a, b1a = cb_in_a, jnp.roll(cb_in_a, -1, axis=-2)
+    tb0, tb1, wb = _clip_aa(b0a, b1a, ha)
+    b0, b1 = cb_loc, jnp.roll(cb_loc, -1, axis=-2)    # B edges, B frame
+
+    def contrib(p0, p1, t0, t1, w):
+        q0 = p0 + t0[..., None] * (p1 - p0)
+        q1 = p0 + t1[..., None] * (p1 - p0)
+        cr = q0[..., 0] * q1[..., 1] - q0[..., 1] * q1[..., 0]
+        return (w * cr).sum(axis=-1)
+
+    area = 0.5 * jnp.abs(
+        contrib(a0, a1, ta0, ta1, wa) + contrib(b0, b1, tb0, tb1, wb))
+    return area
+
+
 def boxes_iou_bev(boxes_a, boxes_b):
     """Pairwise BEV IoU: (N, 5) x (M, 5) -> (N, M).
 

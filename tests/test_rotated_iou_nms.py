@@ -172,3 +172,40 @@ class TestSHIntersection:
             float(rotated_iou.rect_intersection_area_sh(big, small)), 2.0,
             rtol=1e-4,
         )
+
+
+class TestGreenIntersection:
+    """The Green's-theorem kernel used by the NMS hot path."""
+
+    def test_matches_candidate_vertex_kernel(self, rng):
+        import jax.numpy as jnp
+        boxes = random_bev_boxes(rng, 40, spread=4.0)
+        a, b = jnp.asarray(boxes[:20]), jnp.asarray(boxes[20:])
+        ref = np.asarray(rotated_iou.rect_intersection_area(a, b))
+        got = np.asarray(rotated_iou.rect_intersection_area_green(a, b))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_identical_rot90_touching(self):
+        import jax.numpy as jnp
+        a = jnp.array([[0.0, 0.0, 4.0, 2.0, 0.3]])
+        np.testing.assert_allclose(
+            float(rotated_iou.rect_intersection_area_green(a, a)[0]), 8.0,
+            rtol=1e-5)
+        sq1 = jnp.array([[1.0, 1.0, 3.0, 3.0, 0.0]])
+        sq2 = jnp.array([[1.0, 1.0, 3.0, 3.0, np.pi / 2]])
+        np.testing.assert_allclose(
+            float(rotated_iou.rect_intersection_area_green(sq1, sq2)[0]), 9.0,
+            rtol=1e-4)
+        t1 = jnp.array([[0.0, 0.0, 2.0, 2.0, 0.0]])
+        t2 = jnp.array([[2.0, 0.0, 2.0, 2.0, 0.0]])
+        got = float(rotated_iou.rect_intersection_area_green(t1, t2)[0])
+        assert abs(got) < 1e-3
+
+    def test_containment(self):
+        import jax.numpy as jnp
+        big = jnp.array([0.0, 0.0, 10.0, 10.0, 0.4])
+        small = jnp.array([0.5, -0.5, 1.0, 2.0, -1.1])
+        for x, y in ((small, big), (big, small)):
+            np.testing.assert_allclose(
+                float(rotated_iou.rect_intersection_area_green(x, y)), 2.0,
+                rtol=1e-4)
