@@ -80,10 +80,20 @@ class WaymoDataset(PointCloudDataset):
             self.NumPointFeatures += 1
 
     def evaluation(self, detections, output_dir=None, testset=False):
+        """Writes the devkit bin AND computes local AP/APH (BEV IoU 0.7/0.5
+        greedy matching — see eval/detection_metrics.py; the reference defers
+        entirely to the external devkit, waymo/waymo.py:94-104)."""
+        from ..eval.detection_metrics import gts_from_infos, waymo_ap_aph
         from ..eval.waymo import create_pd_detection
 
         create_pd_detection(detections, self.infos, output_dir)
-        return None, None
+        if testset:
+            return None, None
+        classes = list(self._class_names) or ["Vehicle", "Pedestrian",
+                                              "Cyclist"]
+        gts = gts_from_infos(self.infos, classes)
+        metrics = waymo_ap_aph(detections, gts, classes)
+        return metrics, None
 
 
 @DATASETS.register_module(name="NuScenesDataset")
@@ -94,6 +104,7 @@ class NuScenesDataset(PointCloudDataset):
         "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
         "motorcycle", "bicycle", "pedestrian", "traffic_cone",
     )
+    SEG_CLASSES = 17  # lidarseg 32 -> 17 merged classes (class 0 = ignore)
 
     def __init__(self, *args, version="v1.0-trainval", **kwargs):
         super().__init__(*args, **kwargs)
@@ -106,14 +117,52 @@ class NuScenesDataset(PointCloudDataset):
         return res
 
     def evaluation(self, detections, output_dir=None, testset=False,
-                   final_ins=None):
-        """Writes nusc-format results json; devkit metrics run externally.
+                   final_seg=None, final_ins=None):
+        """Computes local nuScenes-style det metrics (mAP/NDS/TP errors),
+        seg mIoU, and panoptic PQ; also writes the nusc-format results json
+        for external devkit runs.
 
-        Returns (det_results_path, seg_miou, panoptic_pq) — the 3-tuple the
-        trainer/dist_test consume.
+        Args:
+          detections: {token: {box3d_lidar, scores, label_preds}}
+          final_seg: optional {token: {"pred": (N,), "gt": (N,)}} per-point
+            semantic labels.
+          final_ins: optional {token: {"pred_sem", "pred_inst", "gt_sem",
+            "gt_inst"}} for PQ.
+        Returns (det_metrics_dict, seg_miou, panoptic_dict) — the 3-tuple
+        the trainer/dist_test consume (trainer.py:566, dist_test.py:224).
         """
+        from ..eval.detection_metrics import gts_from_infos, nusc_map_nds
         from ..eval.nuscenes import write_nusc_results
+        from ..eval.seg_metrics import PanopticEval, fast_hist, per_class_iou
 
         path = write_nusc_results(detections, self.infos, output_dir,
                                   self.CLASSES)
-        return path, None, None
+        det_metrics = None
+        if detections and not testset:
+            classes = list(self._class_names) or list(self.CLASSES)
+            gts = gts_from_infos(self.infos, classes)
+            det_metrics = nusc_map_nds(detections, gts, classes)
+            det_metrics["results_path"] = path
+
+        seg_miou = None
+        if final_seg:
+            n = self.SEG_CLASSES
+            hist = np.zeros((n, n), np.int64)
+            for token, s in final_seg.items():
+                hist += fast_hist(np.asarray(s["pred"]).ravel(),
+                                  np.asarray(s["gt"]).ravel(), n)
+            ious = per_class_iou(hist)
+            seg_miou = float(np.nanmean(ious[1:]))  # class 0 = ignore
+
+        panoptic = None
+        if final_ins:
+            pe = PanopticEval(self.SEG_CLASSES, ignore=[0])
+            for token, s in final_ins.items():
+                pe.addBatch(np.asarray(s["pred_sem"]),
+                            np.asarray(s["pred_inst"]),
+                            np.asarray(s["gt_sem"]),
+                            np.asarray(s["gt_inst"]))
+            pq, sq, rq, _, _, _ = pe.getPQ()
+            panoptic = {"PQ": float(pq), "SQ": float(sq), "RQ": float(rq)}
+
+        return det_metrics, seg_miou, panoptic

@@ -59,8 +59,17 @@ class RSNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (g, 1, c))
         xs = xs * scale + bias
         out = xs.reshape(b, h, step * g, c)
-        if step * g < w:  # ragged tail stratum falls back to last stats
-            out = jnp.concatenate([out, x[..., step * g :, :]], axis=2)
+        if step * g < w:
+            # ragged tail: normalize with the LAST stratum's statistics and
+            # affine params (not raw pass-through)
+            tail = x[..., step * g:, :]
+            tg = tail.reshape(b, h, 1, w - step * g, self.num_heads,
+                              ch_per_group)
+            tm = mean[:, :, -1:], var[:, :, -1:]
+            tg = (tg - tm[0]) * jax.lax.rsqrt(tm[1] + self.eps)
+            tail = tg.reshape(b, h, w - step * g, c)
+            tail = tail * scale[-1] + bias[-1]
+            out = jnp.concatenate([out, tail], axis=2)
         return out
 
 

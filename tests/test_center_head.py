@@ -106,3 +106,25 @@ class TestCenterHeadSinglePos:
         out = det.predict(variables, ex)
         assert out["box3d_lidar"].shape == (2, 16, 9)
         assert out["label_preds"].max() < 2
+
+
+class TestRSNormRaggedTail:
+    def test_tail_normalized_with_last_stratum_stats(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from partner_tpu.models.center_head import RSNorm
+
+        x = jnp.asarray(rng.randn(2, 6, 10, 8).astype(np.float32)) * 3 + 1
+        norm = RSNorm(num_heads=1, num_groups=4)
+        v = norm.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(norm.apply(v, x))
+        assert y.shape == x.shape
+        # tail columns (8:10) must NOT be raw input
+        assert not np.allclose(y[..., 8:, :], np.asarray(x)[..., 8:, :])
+        # tail uses last stratum stats: recompute by hand
+        xs = np.asarray(x)
+        last = xs[:, :, 6:8, :]  # stratum 3 (step=2)
+        mean = last.mean(axis=(1, 2, 3), keepdims=True)
+        var = last.var(axis=(1, 2, 3), keepdims=True)
+        want = (xs[:, :, 8:, :] - mean) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(y[..., 8:, :], want, rtol=1e-4, atol=1e-5)
