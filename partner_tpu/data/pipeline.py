@@ -322,10 +322,25 @@ class Voxelization:
         return res, info
 
 
+def _rotate_boxes(boxes, angle):
+    """Rotate cartesian boxes [x, y, z, dims..., (vx, vy,) yaw] by +angle."""
+    if not len(boxes):
+        return boxes
+    out = boxes.copy()
+    c, s = np.cos(angle), np.sin(angle)
+    out[:, 0] = boxes[:, 0] * c - boxes[:, 1] * s
+    out[:, 1] = boxes[:, 0] * s + boxes[:, 1] * c
+    if boxes.shape[1] >= 9:  # velocity columns precede yaw
+        out[:, -3] = boxes[:, -3] * c - boxes[:, -2] * s
+        out[:, -2] = boxes[:, -3] * s + boxes[:, -2] * c
+    out[:, -1] = boxes[:, -1] + angle
+    return out
+
+
 @PIPELINES.register_module(name="AssignLabel")
 class AssignLabel:
     def __init__(self, cfg=None, rectify=False, with_votemap=True,
-                 with_global_box=True, **kwargs):
+                 with_global_box=True, nsectors=1, **kwargs):
         cfg = dict(cfg or {})
         ta = dict(cfg.get("target_assigner", {}))
         self.tasks = [dict(t) for t in ta.get("tasks", [])]
@@ -341,6 +356,37 @@ class AssignLabel:
         self.max_objs = cfg.get("max_objs", 500)
         self.with_votemap = with_votemap
         self.with_global_box = with_global_box
+        self.nsectors = cfg.get("nsectors", nsectors)
+
+    def _assign_sectors(self, boxes, classes, meta):
+        """Per-sector targets: rotate GT into the canonical sector frame and
+        assign on the sector grid (the streaming-polar scheme of the
+        reference, pipelines/voxelization.py:305-393). Targets gain a
+        leading sector axis."""
+        full_range = np.asarray(meta["range"], np.float32)
+        span = (full_range[4] - full_range[1]) / self.nsectors
+        sec_range = full_range.copy()
+        sec_range[4] = sec_range[1] + span
+        sec_shape = np.asarray(meta["shape"]).copy()
+        sec_shape[1] = sec_shape[1] // self.nsectors
+
+        az = (np.arctan2(boxes[:, 1], boxes[:, 0])
+              if len(boxes) else np.zeros((0,)))
+        per_sector = []
+        for s in range(self.nsectors):
+            lo = full_range[1] + s * span
+            m = (az >= lo) & (az < lo + span)
+            b = _rotate_boxes(boxes[m], -s * span)
+            per_sector.append(self.assigner.assign(
+                b, classes[m], sec_shape, meta["size"], sec_range))
+
+        def stack(vals):
+            if isinstance(vals[0], (list, tuple)):
+                return [stack([v[i] for v in vals])
+                        for i in range(len(vals[0]))]
+            return np.stack(vals)
+
+        return {k: stack([p[k] for p in per_sector]) for k in per_sector[0]}
 
     def __call__(self, res, info):
         if res.get("mode") not in ("train", "debug_gt"):
@@ -349,9 +395,12 @@ class AssignLabel:
         anno = res["lidar"]["annotations"]
         boxes = anno["gt_boxes"]
         classes = anno["gt_classes"]
-        targets = self.assigner.assign(
-            boxes, classes, meta["shape"], meta["size"], meta["range"]
-        )
+        if self.nsectors > 1:
+            targets = self._assign_sectors(boxes, classes, meta)
+        else:
+            targets = self.assigner.assign(
+                boxes, classes, meta["shape"], meta["size"], meta["range"]
+            )
         if self.with_global_box:
             ncol = boxes.shape[1] if len(boxes) else 7
             gb = np.zeros((self.max_objs, ncol + 1), np.float32)

@@ -1,0 +1,152 @@
+"""Config zoo: every shipped config builds, inits, and runs one
+loss + predict step (at a shrunk grid so CPU tests stay fast)."""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from partner_tpu import testing
+from partner_tpu.core import box_np_ops
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def _shrink(cfg, factor=8):
+    """Scale voxel_size up by `factor` (grid down) keeping ranges."""
+    cfg = copy.deepcopy(cfg)
+    vg = cfg["voxel_generator"] if isinstance(cfg, dict) else cfg.voxel_generator
+    vs = list(vg["voxel_size"])
+    vs[0] *= factor
+    vs[1] *= factor
+    vg["voxel_size"] = vs
+    return cfg
+
+
+def _scene(rng, pc_range, n=1500, cap=2048, with_vel=True):
+    import jax.numpy as jnp
+
+    boxes, cart = testing.synthetic_polar_scene(rng, pc_range, n, n_boxes=3)
+    if with_vel:
+        b9 = np.zeros((len(boxes), 9), np.float32)
+        b9[:, :6] = boxes[:, :6]
+        b9[:, -1] = boxes[:, -1]
+        boxes = b9
+    polar = box_np_ops.transform_points(cart[:, :3], "cylinder")
+    polar = np.concatenate([polar, cart[:, 3:]], 1)
+    pad = np.zeros((cap, polar.shape[1]), np.float32)
+    m = np.zeros((cap,), bool)
+    k = min(len(polar), cap)
+    pad[:k] = polar[:k]
+    m[:k] = True
+    return boxes, jnp.asarray(pad[None]), jnp.asarray(m[None])
+
+
+def _targets(cfg, boxes, nsectors=1):
+    import jax.numpy as jnp
+
+    from partner_tpu.data.pipeline import AssignLabel
+
+    vg = cfg.voxel_generator
+    grid = tuple(
+        int(round((vg["range"][3 + i] - vg["range"][i]) / vg["voxel_size"][i]))
+        for i in range(3))
+    asg = dict(cfg.train_cfg["assigner"])
+    asg["max_objs"] = 16
+    al = AssignLabel(cfg=asg, rectify=cfg.get("rectify", False),
+                     with_votemap=False, with_global_box=False)
+    res = {"mode": "train", "lidar": {
+        "voxels": dict(shape=np.asarray(grid),
+                       range=np.asarray(vg["range"], np.float32),
+                       size=np.asarray(vg["voxel_size"], np.float32)),
+        "annotations": {"gt_boxes": boxes,
+                        "gt_classes": np.ones(len(boxes), np.int64)}}}
+    res, _ = al(res, {})
+    return {k: [jnp.asarray(t)[None] for t in v] if isinstance(v, list)
+            else jnp.asarray(v)[None]
+            for k, v in res["lidar"]["targets"].items()}
+
+
+def _voxelize_example(cfg, pts, mask):
+    import jax
+    import jax.numpy as jnp
+
+    from partner_tpu.ops.voxelize import dynamic_voxelize
+
+    vg = cfg.voxel_generator
+    grid = tuple(
+        int(round((vg["range"][3 + i] - vg["range"][i]) / vg["voxel_size"][i]))
+        for i in range(3))
+    vs = jnp.asarray(vg["voxel_size"], jnp.float32)
+    pr = jnp.asarray(vg["range"], jnp.float32)
+    vox = jax.vmap(lambda p, m: dynamic_voxelize(
+        p, m, vs, pr, grid, max_voxels=8192))(pts, mask)
+    return {"features": vox["features"], "coords": vox["coords"],
+            "voxel_mask": vox["mask"]}
+
+
+class TestConfigZoo:
+    def _load(self, rel):
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(CFG_DIR, rel))
+        vs = list(cfg.voxel_generator["voxel_size"])
+        vs[0] *= 8
+        vs[1] *= 8
+        # the config wrapper may deep-copy; update every reference
+        for vg in (cfg.voxel_generator,
+                   cfg.bbox_head["voxel_generator"],
+                   cfg.model["bbox_head"]["voxel_generator"]):
+            vg["voxel_size"] = list(vs)
+        return cfg
+
+    def test_cylinder_singlehead(self, rng):
+        import jax
+
+        from partner_tpu.models import build_detector
+
+        cfg = self._load("nusc/voxelnet/voxelnet_det_cylinder_singlehead.py")
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        boxes, pts, mask = _scene(rng, cfg.voxel_generator["range"])
+        # nusc dynamic encoder: 7 feats [rho, phi, z, x, y, intensity, t]
+        import jax.numpy as jnp
+        feats7 = jnp.concatenate(
+            [pts[..., :5], pts[..., 3:4] * 0, pts[..., 3:4] * 0], -1)
+        ex = _voxelize_example(cfg, feats7, mask)
+        ex.update(_targets(cfg, boxes))
+        variables = det.init(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+
+    @pytest.mark.parametrize("rel,nsec", [
+        ("nusc/pp/polarstream_det_1_sector.py", 1),
+        ("nusc/pp/polarstream_det_4_sector_bidirectional.py", 4),
+    ])
+    def test_polarstream_configs(self, rng, rel, nsec):
+        import jax
+
+        from partner_tpu.models import build_detector
+
+        cfg = self._load(rel)
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        assert det.module.n_sectors == nsec
+        boxes, pts, mask = _scene(rng, cfg.voxel_generator["range"])
+        ex = {"points": pts, "points_mask": mask}
+        ex.update(_targets(cfg, boxes, nsectors=nsec))
+        variables = det.init(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+
+    def test_flagship_waymo_builds(self):
+        from partner_tpu.models import build_detector
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(
+            os.path.join(CFG_DIR, "waymo/waymo_partner_36epoch.py"))
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        assert det is not None
