@@ -1,0 +1,195 @@
+"""Reference (torch) checkpoint -> flax parameter tree conversion.
+
+Implements the full state_dict mapping SURVEY.md §5.4 requires so reference
+checkpoints can be loaded for parity testing:
+
+- RPN neck (det3d/models/necks/rpn.py): blocks.{i}.{idx} conv/BN Sequential
+  + deblocks.{i} (ConvTranspose2d or stride-k Conv2d) -> our flax RPN's
+  creation-ordered Conv_k / BatchNorm_k / ConvTranspose_k names.
+- SepHead (det3d/models/bbox_heads/center_head.py:65-107):
+  {head}.{2j}.weight conv stacks -> our {head}_conv{j} / {head}_out.
+- CenterHead: shared_conv + per-task SepHeads.
+- SpMiddleResNetFHD spconv weights -> the gather-matmul sparse backbone's
+  flat (K*Cin, Cout) kernels (models/sparse.py), via convert_torch_subm_conv.
+
+Conventions: torch Conv2d (O, I, kh, kw) -> flax (kh, kw, I, O); torch
+ConvTranspose2d (I, O, kh, kw) -> flax ConvTranspose (kh, kw, I, O); BN
+weight/bias/running_mean/running_var -> scale/bias + batch_stats mean/var.
+"""
+
+import numpy as np
+
+from .checkpoint import (  # noqa: F401 (re-exported layout helpers)
+    convert_torch_conv2d,
+    convert_torch_linear,
+    convert_torch_subm_conv,
+)
+
+
+def _np(t):
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def convert_torch_convtranspose2d(w):
+    """(I, O, kh, kw) -> flax ConvTranspose kernel (kh, kw, I, O).
+
+    torch's ConvTranspose2d is the gradient of a convolution (kernel
+    spatially flipped relative to flax's fractionally-strided conv), so the
+    spatial dims are reversed."""
+    k = np.transpose(_np(w), (2, 3, 0, 1))
+    return k[::-1, ::-1].copy()
+
+
+def _bn(sd, prefix, nested=False):
+    """nested=True wraps one level for our layers.BatchNorm (which contains
+    an inner flax nn.BatchNorm named BatchNorm_0)."""
+    p = {"scale": _np(sd[f"{prefix}.weight"]),
+         "bias": _np(sd[f"{prefix}.bias"])}
+    s = {"mean": _np(sd[f"{prefix}.running_mean"]),
+         "var": _np(sd[f"{prefix}.running_var"])}
+    if nested:
+        return {"BatchNorm_0": p}, {"BatchNorm_0": s}
+    return p, s
+
+
+def convert_rpn_state_dict(sd, layer_nums, us_layer_strides):
+    """Reference RPN state_dict -> (params, batch_stats) dicts for our RPN.
+
+    Our flax RPN creates, per scale i: entry conv+BN, layer_nums[i] x
+    (conv+BN), then (from upsample_start) a deblock conv/transpose + BN —
+    names are flax auto-numbered in creation order.
+    """
+    params, stats = {}, {}
+    conv_i = bn_i = tr_i = 0
+    upsample_start = len(layer_nums) - len(us_layer_strides)
+
+    for i, n in enumerate(layer_nums):
+        # torch Sequential: ZeroPad2d(0), then (Conv, BN, ReLU) repeating
+        # at indices (1,2,3), (4,5,6), ...
+        for li in range(n + 1):
+            conv_key = f"blocks.{i}.{3 * li + 1}.weight"
+            params[f"Conv_{conv_i}"] = {
+                "kernel": convert_torch_conv2d(_np(sd[conv_key]))}
+            conv_i += 1
+            p, s = _bn(sd, f"blocks.{i}.{3 * li + 2}", nested=True)
+            params[f"BatchNorm_{bn_i}"] = p
+            stats[f"BatchNorm_{bn_i}"] = s
+            bn_i += 1
+        j = i - upsample_start
+        if j >= 0:
+            w = _np(sd[f"deblocks.{j}.0.weight"])
+            if us_layer_strides[j] > 1:
+                params[f"ConvTranspose_{tr_i}"] = {
+                    "kernel": convert_torch_convtranspose2d(w)}
+                tr_i += 1
+            else:
+                params[f"Conv_{conv_i}"] = {
+                    "kernel": convert_torch_conv2d(w)}
+                conv_i += 1
+            p, s = _bn(sd, f"deblocks.{j}.1", nested=True)
+            params[f"BatchNorm_{bn_i}"] = p
+            stats[f"BatchNorm_{bn_i}"] = s
+            bn_i += 1
+    return params, stats
+
+
+def convert_sep_head_state_dict(sd, heads, prefix=""):
+    """Reference SepHead state_dict -> our SepHead params.
+
+    torch Sequential per head: Conv at even indices (ReLU between), final
+    conv at index 2*(num_conv-1); all with bias.
+    """
+    params = {}
+    for name, (_, num_conv) in dict(heads).items():
+        for j in range(num_conv - 1):
+            k = f"{prefix}{name}.{2 * j}"
+            params[f"{name}_conv{j}"] = {
+                "kernel": convert_torch_conv2d(_np(sd[f"{k}.weight"])),
+                "bias": _np(sd[f"{k}.bias"]),
+            }
+        k = f"{prefix}{name}.{2 * (num_conv - 1)}"
+        params[f"{name}_out"] = {
+            "kernel": convert_torch_conv2d(_np(sd[f"{k}.weight"])),
+            "bias": _np(sd[f"{k}.bias"]),
+        }
+    return params
+
+
+def convert_center_head_state_dict(sd, common_heads, num_tasks,
+                                   num_classes_per_task):
+    """Reference CenterHead -> our CenterHead params/batch_stats."""
+    params = {"shared_conv": {
+        "kernel": convert_torch_conv2d(_np(sd["shared_conv.0.weight"])),
+    }}
+    stats = {}
+    if "shared_conv.0.bias" in sd:
+        params["shared_conv"]["bias"] = _np(sd["shared_conv.0.bias"])
+    p, s = _bn(sd, "shared_conv.1")
+    params["shared_bn"] = p
+    stats["shared_bn"] = s
+    for t in range(num_tasks):
+        heads = dict(common_heads)
+        heads["hm"] = (num_classes_per_task[t], heads.get("hm", (1, 2))[1]
+                       if "hm" in heads else 2)
+        params[f"task{t}"] = convert_sep_head_state_dict(
+            sd, heads, prefix=f"tasks.{t}.")
+    return params, stats
+
+
+def convert_backbone_state_dict(sd):
+    """SpMiddleResNetFHD spconv weights -> the gather-matmul sparse
+    backbone's (params, batch_stats) trees (models/backbone.py).
+
+    Reference structure (scn.py:97-192): conv_input = (SubM, BN, ReLU);
+    conv1 = 2x SparseBasicBlock{conv1, bn1, conv2, bn2}; conv2..conv4 =
+    (SparseConv, BN, ReLU, block, block); extra_conv = (SparseConv, BN,
+    ReLU). Our flax names: conv_input{SparseConv_0, MaskedBatchNorm_0},
+    conv1_{k}{SparseConv_0/1, MaskedBatchNorm_0/1}, convN{SparseConv_0,
+    MaskedBatchNorm_0, SparseBasicBlock_0/1}.
+    """
+    params, stats = {}, {}
+
+    def conv(key):
+        return {"kernel": convert_torch_subm_conv(_np(sd[key]))}
+
+    def basic_block(prefix):
+        p = {"SparseConv_0": conv(f"{prefix}.conv1.weight"),
+             "SparseConv_1": conv(f"{prefix}.conv2.weight")}
+        s = {}
+        for j in (1, 2):
+            bp, bs = _bn(sd, f"{prefix}.bn{j}")
+            p[f"MaskedBatchNorm_{j - 1}"] = bp
+            s[f"MaskedBatchNorm_{j - 1}"] = bs
+        return p, s
+
+    params["conv_input"] = {"SparseConv_0": conv("conv_input.0.weight")}
+    bp, bs = _bn(sd, "conv_input.1")
+    params["conv_input"]["MaskedBatchNorm_0"] = bp
+    stats["conv_input"] = {"MaskedBatchNorm_0": bs}
+
+    for k in range(2):
+        p, s = basic_block(f"conv1.{k}")
+        params[f"conv1_{k}"] = p
+        stats[f"conv1_{k}"] = s
+
+    for name in ("conv2", "conv3", "conv4"):
+        p = {"SparseConv_0": conv(f"{name}.0.weight")}
+        s = {}
+        bp, bs = _bn(sd, f"{name}.1")
+        p["MaskedBatchNorm_0"] = bp
+        s["MaskedBatchNorm_0"] = bs
+        for bi, ti in enumerate((3, 4)):
+            pb, sb = basic_block(f"{name}.{ti}")
+            p[f"SparseBasicBlock_{bi}"] = pb
+            s[f"SparseBasicBlock_{bi}"] = sb
+        params[name] = p
+        stats[name] = s
+
+    params["extra_conv"] = {"SparseConv_0": conv("extra_conv.0.weight")}
+    bp, bs = _bn(sd, "extra_conv.1")
+    params["extra_conv"]["MaskedBatchNorm_0"] = bp
+    stats["extra_conv"] = {"MaskedBatchNorm_0": bs}
+    return params, stats

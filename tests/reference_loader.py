@@ -1,0 +1,92 @@
+"""Import the (public, untrusted) reference torch modules for parity tests.
+
+The reference tree at /root/reference depends on packages absent from this
+image (spconv, torchvision, detectron2, numba, addict, pycocotools, ...).
+For weight-converter parity testing we only need the pure-torch modules
+(RPN, CenterHead/SepHead), so the missing deps are stubbed out. The
+reference code is EXECUTED for comparison only — nothing is copied.
+"""
+
+import sys
+import types
+
+_REFERENCE = "/root/reference"
+
+
+class _Addict(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def _identity_dec(*a, **k):
+    if a and callable(a[0]):
+        return a[0]
+    return lambda f: f
+
+
+def _install_stubs():
+    numba = types.ModuleType("numba")
+    numba.jit = _identity_dec
+    numba.njit = _identity_dec
+    for t in ("float64", "float32", "int64", "int32", "boolean", "int8"):
+        setattr(numba, t, None)
+    numba.errors = types.ModuleType("numba.errors")
+    for w in ("NumbaPerformanceWarning", "NumbaDeprecationWarning",
+              "NumbaWarning", "NumbaPendingDeprecationWarning"):
+        setattr(numba.errors, w, Warning)
+    numba.cuda = types.ModuleType("numba.cuda")
+    numba.cuda.jit = _identity_dec
+    sys.modules.setdefault("numba", numba)
+    sys.modules.setdefault("numba.errors", numba.errors)
+    sys.modules.setdefault("numba.cuda", numba.cuda)
+
+    mods = {
+        "torchvision": {},
+        "torchvision.models": {},
+        "torchvision.models.resnet": {},
+        "detectron2": {},
+        "detectron2.layers": {"batched_nms_rotated": lambda *a, **k: None},
+        "terminaltables": {"AsciiTable": object},
+        "addict": {"Dict": _Addict},
+        "pycocotools": {},
+        "pycocotools.mask": {},
+        "timm": {},
+        "timm.data": {"IMAGENET_DEFAULT_MEAN": (0.485, 0.456, 0.406),
+                      "IMAGENET_DEFAULT_STD": (0.229, 0.224, 0.225)},
+        "timm.models": {},
+        "timm.models.layers": {"DropPath": None, "to_2tuple": None,
+                               "trunc_normal_": None},
+        "torchgeometry": {},
+        "matplotlib": {},
+        "matplotlib.pyplot": {},
+        "torch_scatter": {"scatter_mean": None, "scatter_max": None,
+                          "scatter_add": None},
+    }
+    for name, attrs in mods.items():
+        if name in sys.modules:
+            continue
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["torchvision.models"].resnet = sys.modules[
+        "torchvision.models.resnet"]
+    sys.modules["pycocotools"].mask = sys.modules["pycocotools.mask"]
+
+
+def load_reference_modules():
+    """Returns (RPN, CenterHead, SepHead) torch classes from the reference,
+    or raises ImportError if the reference tree is unavailable."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    from det3d.models.necks.rpn import RPN
+    from det3d.models.bbox_heads.center_head import CenterHead, SepHead
+    return RPN, CenterHead, SepHead
