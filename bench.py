@@ -130,11 +130,22 @@ def main():
     elapsed = time.perf_counter() - t0
     fps = third / elapsed
 
+    # MFU from XLA's own cost analysis of the per-frame executable
+    from partner_tpu.utils import flops as flops_util
+
+    try:
+        frame_flops = flops_util.flops_of(frame, variables, pad_j, mask_j)
+        mfu = flops_util.mfu(frame_flops, 1.0 / fps)
+    except Exception:
+        frame_flops, mfu = 0.0, 0.0
+
     print(json.dumps({
         "metric": "waymo_partner_infer_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "gflops_per_frame": round(frame_flops / 1e9, 1),
+        "mfu": round(mfu, 4),
     }))
 
 

@@ -113,3 +113,28 @@ class IterTimer:
         dt = now - self.t
         self.t = now
         return dt
+
+
+class TensorBoardLoggerHook:
+    """TensorBoard scalar logging (the reference's TensorboardLoggerHook,
+    torchie/trainer/hooks/logger/tensorboard.py) via tensorboardX."""
+
+    def __init__(self, log_dir, interval=5):
+        from tensorboardX import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir)
+        self.interval = interval
+
+    def log(self, step, scalars, lr=None):
+        if step % self.interval:
+            return
+        for k, v in scalars.items():
+            try:
+                self.writer.add_scalar(f"train/{k}", float(v), step)
+            except (TypeError, ValueError):
+                pass
+        if lr is not None:
+            self.writer.add_scalar("train/lr", float(lr), step)
+
+    def close(self):
+        self.writer.close()
