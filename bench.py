@@ -87,25 +87,40 @@ def main():
     pr = jnp.asarray(pc_range, dtype=jnp.float32)
     pad_j, mask_j = jnp.asarray(pad), jnp.asarray(mask)
 
-    vox = voxelize.dynamic_voxelize(pad_j, mask_j, voxel_size, pr, grid,
-                                    max_voxels=n_vox)
-    init_example = {
-        "features": vox["features"][None, :2048],
-        "coords": vox["coords"][None, :2048],
-        "voxel_mask": vox["mask"][None, :2048],
-    }
-    variables = det.init(jax.random.PRNGKey(0), init_example)
+    point_path = (scale != "tiny"
+                  and hasattr(det.module.backbone_cfg, "get")
+                  and det.module.backbone_cfg.get("type") == "PolarDenseFHD")
+    if point_path:
+        # flagship fast path: the dense backbone consumes raw points (no
+        # voxelization sort on the hot path)
+        init_example = {"points": pad_j[None, :2048],
+                        "points_mask": mask_j[None, :2048]}
+        variables = det.init(jax.random.PRNGKey(0), init_example)
 
-    @jax.jit
-    def frame(variables, points, pmask):
-        v = voxelize.dynamic_voxelize(points, pmask, voxel_size, pr, grid,
-                                      max_voxels=n_vox)
-        example = {
-            "features": v["features"][None],
-            "coords": v["coords"][None],
-            "voxel_mask": v["mask"][None],
+        @jax.jit
+        def frame(variables, points, pmask):
+            example = {"points": points[None], "points_mask": pmask[None]}
+            return det.predict(variables, example)
+    else:
+        vox = voxelize.dynamic_voxelize(pad_j, mask_j, voxel_size, pr, grid,
+                                        max_voxels=n_vox)
+        init_example = {
+            "features": vox["features"][None, :2048],
+            "coords": vox["coords"][None, :2048],
+            "voxel_mask": vox["mask"][None, :2048],
         }
-        return det.predict(variables, example)
+        variables = det.init(jax.random.PRNGKey(0), init_example)
+
+        @jax.jit
+        def frame(variables, points, pmask):
+            v = voxelize.dynamic_voxelize(points, pmask, voxel_size, pr,
+                                          grid, max_voxels=n_vox)
+            example = {
+                "features": v["features"][None],
+                "coords": v["coords"][None],
+                "voxel_mask": v["mask"][None],
+            }
+            return det.predict(variables, example)
 
     def sync(out):
         # On the remote-TPU backend block_until_ready does not synchronize;

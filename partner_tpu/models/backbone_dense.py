@@ -132,7 +132,100 @@ class PolarDenseFHD(nn.Module):
     stage_b_blocks: int = 2  # residual blocks @ 1/8 res (C=128)
     compute_dtype: Any = jnp.bfloat16
 
-    @nn.compact
+    def _canvas_shape(self, input_shape):
+        n_r, n_az, n_z = (int(s) for s in input_shape)
+        assert n_z % self.z_pool == 0 and n_az % self.bev_pool == 0 \
+            and n_r % self.bev_pool == 0, (
+                f"grid {input_shape} not divisible by pools "
+                f"({self.z_pool},{self.bev_pool})")
+        return (n_z // self.z_pool, n_az // self.bev_pool,
+                n_r // self.bev_pool)
+
+    def setup(self):
+        dt = self.compute_dtype
+        self.stem_dense = [
+            nn.Dense(f, use_bias=False, dtype=dt, name=f"stem{i}")
+            for i, f in enumerate(self.stem_features)]
+        self.stem_bn = [
+            nn.BatchNorm(momentum=0.99, epsilon=1e-3, dtype=jnp.float32,
+                         name=f"stem_bn{i}")
+            for i in range(len(self.stem_features))]
+        self.conv_a = DenseConvBlock(self.stem_features[-1], dtype=dt,
+                                     name="conv_a")
+        self.blocks_a = [
+            DenseBasicBlock(self.stem_features[-1], dtype=dt,
+                            name=f"block_a{i}")
+            for i in range(self.stage_a_blocks)]
+        self.conv_b = DenseConvBlock(2 * self.stem_features[-1],
+                                     stride=(1, 2, 2), dtype=dt,
+                                     name="conv_b")
+        self.blocks_b = [
+            DenseBasicBlock(2 * self.stem_features[-1], dtype=dt,
+                            name=f"block_b{i}")
+            for i in range(self.stage_b_blocks)]
+        self.extra_conv = DenseConvBlock(
+            2 * self.stem_features[-1], kernel=(3, 1, 1), stride=(2, 1, 1),
+            padding="VALID", dtype=dt, name="extra_conv")
+
+    def _stem(self, x, mask, train):
+        dt = self.compute_dtype
+        for dense, bn in zip(self.stem_dense, self.stem_bn):
+            x = dense(x)
+            x = bn(x * mask[..., None].astype(dt),
+                   use_running_average=not train)
+            x = nn.relu(x).astype(dt)
+        return x
+
+    def _trunk(self, canvas, occ, train):
+        a = self.conv_a(canvas, train)
+        for blk in self.blocks_a:
+            a = blk(a, train)
+        b = self.conv_b(a, train)
+        for blk in self.blocks_b:
+            b = blk(b, train)
+        e = self.extra_conv(b, train)
+        # channel fold: (B, nz', ny, nx, C) -> (B, ny, nx, C*nz')
+        # (C outer, D inner — matches torch view(N, C*D, H, W))
+        bb, nz2, ny, nx, cc = e.shape
+        bev = e.transpose(0, 2, 3, 4, 1).reshape(bb, ny, nx, cc * nz2)
+        multi_scale = {"canvas": canvas, "occ": occ, "stage_a": a,
+                       "stage_b": b}
+        return bev.astype(jnp.float32), multi_scale
+
+    def encode_points(self, points, mask, input_shape, pc_range,
+                      train: bool = True):
+        """Point-input fast path: per-point decorated MLP -> scatter-max.
+
+        Skips voxelization entirely (no sort, no segment ops): the full-res
+        voxel structure only fed a mean VFE whose information the stem's
+        sub-cell offset decorations already carry. points are cylinder
+        layout (B, P, C) [rho, phi, z, ...]; returns (bev, multi_scale).
+        """
+        n_r, n_az, n_z = (int(s) for s in input_shape)
+        canvas_shape = self._canvas_shape(input_shape)
+        dt = self.compute_dtype
+        pr = jnp.asarray(pc_range, jnp.float32)
+        cell = jnp.asarray([
+            (pc_range[3] - pc_range[0]) / n_r * self.bev_pool,
+            (pc_range[4] - pc_range[1]) / n_az * self.bev_pool,
+            (pc_range[5] - pc_range[2]) / n_z * self.z_pool,
+        ], jnp.float32)
+
+        rza = points[..., :3]  # rho, phi, z
+        g = (rza - pr[jnp.asarray([0, 1, 2])]) / cell  # canvas-cell units
+        idx = jnp.floor(g).astype(jnp.int32)
+        frac = g - idx - 0.5
+        inb = mask & jnp.all(
+            (idx >= 0) & (idx < jnp.asarray(
+                [canvas_shape[2], canvas_shape[1], canvas_shape[0]])), -1)
+        x = jnp.concatenate(
+            [points.astype(jnp.float32), frac], axis=-1).astype(dt)
+        x = self._stem(x, inb, train)
+        coords = jnp.stack([idx[..., 2], idx[..., 1], idx[..., 0]], -1)
+        canvas, occ = scatter_canvas(
+            x, coords, inb, canvas_shape, 1, 1, dtype=dt)
+        return self._trunk(canvas, occ, train)
+
     def __call__(self, voxel_features, coords, mask, input_shape,
                  train: bool = True):
         """
@@ -145,13 +238,7 @@ class PolarDenseFHD(nn.Module):
           bev: (B, n_az/8, n_r/8, C_bev) dense BEV map.
           multi_scale: dict of dense stage tensors (canvas/stage_a/stage_b).
         """
-        n_r, n_az, n_z = (int(s) for s in input_shape)
-        assert n_z % self.z_pool == 0 and n_az % self.bev_pool == 0 \
-            and n_r % self.bev_pool == 0, (
-                f"grid {input_shape} not divisible by pools "
-                f"({self.z_pool},{self.bev_pool})")
-        canvas_shape = (n_z // self.z_pool, n_az // self.bev_pool,
-                        n_r // self.bev_pool)
+        canvas_shape = self._canvas_shape(input_shape)
         dt = self.compute_dtype
 
         # --- stem: decorated per-voxel MLP (full resolution, pure matmul)
@@ -162,43 +249,10 @@ class PolarDenseFHD(nn.Module):
         x = jnp.concatenate(
             [voxel_features.astype(jnp.float32), frac - 0.5], axis=-1
         ).astype(dt)
-        for i, f in enumerate(self.stem_features):
-            x = nn.Dense(f, use_bias=False, dtype=dt, name=f"stem{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=jnp.float32,
-                             name=f"stem_bn{i}")(
-                x * mask[..., None].astype(dt))
-            x = nn.relu(x).astype(dt)
+        x = self._stem(x, mask, train)
 
         # --- the one sparse op: pooled scatter into the dense canvas
         canvas, occ = scatter_canvas(
             x, coords, mask, canvas_shape, self.z_pool, self.bev_pool,
             dtype=dt)
-
-        # --- stage A @ 1/4 res, C=64 (the reference's conv3 role)
-        a = DenseConvBlock(self.stem_features[-1], dtype=dt,
-                           name="conv_a")(canvas, train)
-        for i in range(self.stage_a_blocks):
-            a = DenseBasicBlock(self.stem_features[-1], dtype=dt,
-                                name=f"block_a{i}")(a, train)
-
-        # --- stage B @ 1/8 res, C=128 (the reference's conv4 role)
-        b = DenseConvBlock(2 * self.stem_features[-1], stride=(1, 2, 2),
-                           dtype=dt, name="conv_b")(a, train)
-        for i in range(self.stage_b_blocks):
-            b = DenseBasicBlock(2 * self.stem_features[-1], dtype=dt,
-                                name=f"block_b{i}")(b, train)
-
-        # --- z-squeeze: kernel (3,1,1) stride (2,1,1) VALID (scn.py:157-163)
-        e = DenseConvBlock(2 * self.stem_features[-1], kernel=(3, 1, 1),
-                           stride=(2, 1, 1), padding="VALID", dtype=dt,
-                           name="extra_conv")(b, train)
-
-        # --- channel fold: (B, nz', ny, nx, C) -> (B, ny, nx, C*nz')
-        # (C outer, D inner — matches torch view(N, C*D, H, W))
-        bb, nz2, ny, nx, cc = e.shape
-        bev = e.transpose(0, 2, 3, 4, 1).reshape(bb, ny, nx, cc * nz2)
-
-        multi_scale = {"canvas": canvas, "occ": occ, "stage_a": a,
-                       "stage_b": b}
-        return bev.astype(jnp.float32), multi_scale
+        return self._trunk(canvas, occ, train)

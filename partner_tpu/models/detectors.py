@@ -91,15 +91,25 @@ class VoxelNetModule(nn.Module):
             )
 
     def __call__(self, example, train: bool = True):
-        if "voxels" in example:  # hard-voxelized path: (B, N, K, C)
-            features = self.reader(example["voxels"], example["num_points"])
-        else:  # dynamic path: mean features precomputed on device
-            features = self.reader(example["features"])
-
-        bev, _ = self.backbone(
-            features, example["coords"], example["voxel_mask"],
-            self.grid_size, train=train,
-        )  # (B, n_az/8, n_r/8, C)
+        if ("features" not in example and "voxels" not in example
+                and "points" in example
+                and hasattr(self.backbone, "encode_points")):
+            # point fast path: skip voxelization entirely — the dense
+            # backbone decorates and pools raw points itself
+            bev, _ = self.backbone.encode_points(
+                example["points"], example["points_mask"], self.grid_size,
+                self.pc_range, train=train,
+            )
+        else:
+            if "voxels" in example:  # hard-voxelized path: (B, N, K, C)
+                features = self.reader(example["voxels"],
+                                       example["num_points"])
+            else:  # dynamic path: mean features precomputed on device
+                features = self.reader(example["features"])
+            bev, _ = self.backbone(
+                features, example["coords"], example["voxel_mask"],
+                self.grid_size, train=train,
+            )  # (B, n_az/8, n_r/8, C)
 
         if self.with_set_attention:
             x = bev.transpose(0, 2, 1, 3)  # (B, n_r, n_az, C)

@@ -90,3 +90,37 @@ class TestPolarDenseFHD:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
         assert total > 0
+
+
+class TestPointFastPath:
+    def test_encode_points_runs_and_matches_interface(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from partner_tpu.models.backbone_dense import PolarDenseFHD
+
+        pc_range = [0.3, -np.pi, -2.0, 36.3, np.pi, 2.8]
+        grid = (64, 128, 24)
+        n = 800
+        rho = rng.uniform(0.5, 36, n); phi = rng.uniform(-3.1, 3.1, n)
+        z = rng.uniform(-1.9, 2.7, n)
+        pts = np.stack([rho, phi, z, rng.rand(n), rng.rand(n)], 1).astype(np.float32)
+        pj = jnp.asarray(pts)[None]
+        mj = jnp.ones((1, n), bool)
+
+        bb = PolarDenseFHD(num_input_features=5, compute_dtype=jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), pj, mj, grid, pc_range,
+                            train=False, method=PolarDenseFHD.encode_points)
+        bev, ms = bb.apply(variables, pj, mj, grid, pc_range, train=False,
+                           method=PolarDenseFHD.encode_points)
+        assert bev.shape == (1, grid[1] // 8, grid[0] // 8, 128)
+        assert np.all(np.isfinite(np.asarray(bev)))
+        # the same params drive the voxel path (shared stem/trunk)
+        coords = np.stack([
+            ((z - pc_range[2]) / ((pc_range[5]-pc_range[2]) / grid[2])).astype(np.int32),
+            ((phi - pc_range[1]) / (2*np.pi / grid[1])).astype(np.int32),
+            ((rho - pc_range[0]) / ((pc_range[3]-pc_range[0]) / grid[0])).astype(np.int32),
+        ], 1)
+        coords = np.clip(coords, 0, np.array([grid[2]-1, grid[1]-1, grid[0]-1]))
+        bev2, _ = bb.apply(variables, jnp.asarray(pts)[None], 
+                           jnp.asarray(coords)[None], mj, grid, train=False)
+        assert bev2.shape == bev.shape
