@@ -428,3 +428,53 @@ def center_head_post_process(boxes, scores, test_cfg, class_offset=0):
         }
 
     return jax.vmap(one)(boxes, scores)
+
+
+def double_flip_average(preds):
+    """Test-time double-flip averaging (center_head.py:290-348).
+
+    preds: one task's map dict with batch B*4, grouped [orig, yflip
+    (y=-y, flip along H), xflip (x=-x, flip along W), xyflip]; maps are
+    NHWC cartesian BEV. Returns the de-flipped, averaged (B, ...) dict
+    with hm already sigmoided and dim already exp'd (decode must be told
+    via `pre_activated`).
+    """
+    out = {}
+    four = {}
+    for k, v in preds.items():
+        b4, h, w, c = v.shape
+        v = v.reshape(b4 // 4, 4, h, w, c)
+        v = v.at[:, 1].set(v[:, 1, ::-1])
+        v = v.at[:, 2].set(v[:, 2, :, ::-1])
+        v = v.at[:, 3].set(v[:, 3, ::-1, ::-1])
+        four[k] = v
+
+    out["hm"] = jax.nn.sigmoid(four["hm"]).mean(axis=1)
+    out["dim"] = jnp.exp(four["dim"]).mean(axis=1)
+    out["height"] = four["height"].mean(axis=1)
+
+    reg = four["reg"]
+    reg = reg.at[:, 1, ..., 1].set(1 - reg[:, 1, ..., 1])
+    reg = reg.at[:, 2, ..., 0].set(1 - reg[:, 2, ..., 0])
+    reg = reg.at[:, 3, ..., 0].set(1 - reg[:, 3, ..., 0])
+    reg = reg.at[:, 3, ..., 1].set(1 - reg[:, 3, ..., 1])
+    out["reg"] = reg.mean(axis=1)
+
+    rots = four["rot"][..., 0:1]
+    rotc = four["rot"][..., 1:2]
+    rotc = rotc.at[:, 1].multiply(-1)   # yflip: theta -> pi - theta
+    rots = rots.at[:, 2].multiply(-1)   # xflip: theta -> -theta
+    rots = rots.at[:, 3].multiply(-1)
+    rotc = rotc.at[:, 3].multiply(-1)
+    out["rot"] = jnp.concatenate(
+        [rots.mean(axis=1), rotc.mean(axis=1)], -1)
+
+    if "vel" in four:
+        vel = four["vel"]
+        vel = vel.at[:, 1, ..., 1].multiply(-1)
+        vel = vel.at[:, 2, ..., 0].multiply(-1)
+        vel = vel.at[:, 3].multiply(-1)
+        out["vel"] = vel.mean(axis=1)
+    if "iou" in four:
+        out["iou"] = four["iou"].mean(axis=1)
+    return out

@@ -90,7 +90,7 @@ class VoxelNetModule(nn.Module):
                 drop_path=set_cfg.get("set_drop_path", 0.1),
             )
 
-    def __call__(self, example, train: bool = True):
+    def __call__(self, example, train: bool = True, return_bev: bool = False):
         if ("features" not in example and "voxels" not in example
                 and "points" in example
                 and hasattr(self.backbone, "encode_points")):
@@ -121,7 +121,10 @@ class VoxelNetModule(nn.Module):
             bev = jax.lax.with_sharding_constraint(bev, self.bev_pspec)
 
         x = self.neck(bev, train=train)
-        return self.bbox_head(x, train=train)
+        out = self.bbox_head(x, train=train)
+        if return_bev:
+            return out, x
+        return out
 
 
 class Detector:

@@ -128,3 +128,54 @@ class TestRSNormRaggedTail:
         var = last.var(axis=(1, 2, 3), keepdims=True)
         want = (xs[:, :, 8:, :] - mean) / np.sqrt(var + 1e-5)
         np.testing.assert_allclose(y[..., 8:, :], want, rtol=1e-4, atol=1e-5)
+
+
+class TestDoubleFlip:
+    def test_deflip_average_recovers_original(self, rng):
+        """Maps built by actually flipping a base map must average back to
+        the base predictions (cartesian BEV)."""
+        import jax.numpy as jnp
+        from partner_tpu.models.center_head import double_flip_average
+
+        h, w = 8, 10
+        base = {
+            "hm": rng.randn(1, h, w, 1).astype(np.float32),
+            "reg": rng.rand(1, h, w, 2).astype(np.float32),
+            "height": rng.randn(1, h, w, 1).astype(np.float32),
+            "dim": rng.randn(1, h, w, 3).astype(np.float32),
+            "rot": rng.randn(1, h, w, 2).astype(np.float32),
+            "vel": rng.randn(1, h, w, 2).astype(np.float32),
+        }
+        flipped = {}
+        for k, v in base.items():
+            vy = v[:, ::-1].copy()
+            vx = v[:, :, ::-1].copy()
+            vxy = v[:, ::-1, ::-1].copy()
+            if k == "reg":
+                vy[..., 1] = 1 - vy[..., 1]
+                vx[..., 0] = 1 - vx[..., 0]
+                vxy[..., 0] = 1 - vxy[..., 0]
+                vxy[..., 1] = 1 - vxy[..., 1]
+            if k == "rot":  # (sin, cos)
+                vy[..., 1] *= -1
+                vx[..., 0] *= -1
+                vxy[..., 0] *= -1
+                vxy[..., 1] *= -1
+            if k == "vel":
+                vy[..., 1] *= -1
+                vx[..., 0] *= -1
+                vxy *= -1
+            flipped[k] = jnp.asarray(np.concatenate([v, vy, vx, vxy]))
+
+        out = double_flip_average(flipped)
+        np.testing.assert_allclose(
+            np.asarray(out["hm"]),
+            1 / (1 + np.exp(-base["hm"])), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["reg"]), base["reg"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["rot"]), base["rot"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["vel"]), base["vel"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["dim"]),
+                                   np.exp(base["dim"]), rtol=1e-4)
