@@ -42,6 +42,7 @@ class PolarStreamModule(nn.Module):
     grid_size: Tuple[int, int, int]  # FULL sweep (n_r, n_az, n_z)
     pc_range: Tuple[float, ...]     # FULL sweep
     voxel_size: Tuple[float, ...]
+    seg_head_cfg: Any = None
     n_sectors: int = 1
     max_pillars: int = 32768        # per sector
     out_size_factor: int = 8
@@ -70,6 +71,13 @@ class PolarStreamModule(nn.Module):
         head_cfg.setdefault("pc_range", self.sector_range())
         head_cfg.setdefault("out_size_factor", self.out_size_factor)
         self.bbox_head = build_from_cfg(head_cfg, BBOX_HEADS)
+        if self.seg_head_cfg:
+            from .registry import SEG_HEADS
+            sc = {k: v for k, v in dict(self.seg_head_cfg).items()
+                  if k in ("num_classes", "kernel", "weight", "type")}
+            self.seg_head = build_from_cfg(sc, SEG_HEADS)
+        else:
+            self.seg_head = None
 
     def _rotate_to_sector(self, points, mask, s):
         """Select sector s's points and re-reference them to sector 0.
@@ -124,7 +132,7 @@ class PolarStreamModule(nn.Module):
     def __call__(self, example, train: bool = True):
         points = example["points"]
         mask = example["points_mask"]
-        preds, ctx = [], None
+        preds, segs, ctx = [], [], None
         for s in range(self.n_sectors):
             pts_s, sel = self._rotate_to_sector(points, mask, s)
             canvas = self._encode_sector(pts_s, sel, train)
@@ -135,7 +143,49 @@ class PolarStreamModule(nn.Module):
             else:
                 x, ctx = self.neck(canvas, ctx, train=train)
             preds.append(self.bbox_head(x, train=train))
-        return {"sector_preds": preds}
+            if self.seg_head is not None:
+                segs.append(self.seg_head(canvas, x, train=train)
+                            ["seg_preds"])
+        out = {"sector_preds": preds}
+        if segs:
+            out["seg_preds"] = segs
+        return out
+
+    def point_cells(self, points, mask, s):
+        """Per-point sector-grid cell indices (az_idx, r_idx) + validity."""
+        g = self.sector_grid()
+        sr = self.sector_range()
+        pts_s, sel = self._rotate_to_sector(points, mask, s)
+        r_idx = jnp.floor((pts_s[..., 0] - sr[0])
+                          / ((sr[3] - sr[0]) / g[0])).astype(jnp.int32)
+        a_idx = jnp.floor((pts_s[..., 1] - sr[1])
+                          / ((sr[4] - sr[1]) / g[1])).astype(jnp.int32)
+        ok = sel & (r_idx >= 0) & (r_idx < g[0]) & (a_idx >= 0) \
+            & (a_idx < g[1])
+        return a_idx, r_idx, ok
+
+
+def majority_cell_labels(a_idx, r_idx, ok, point_labels, grid, n_classes):
+    """Per-cell majority semantic label from labeled points (the voxel
+    majority-label assigner of the reference eval kernels). Labels are
+    1-based; 0 = unlabeled. Returns (B, n_az, n_r) int32."""
+    n_r_cells, n_az_cells = grid[0], grid[1]
+    cells = n_az_cells * n_r_cells
+
+    def one(ai, ri, m, lab):
+        lin = jnp.where(m & (lab > 0), ai * n_r_cells + ri, cells)
+        onehot_idx = lin * (n_classes + 1) + jnp.clip(lab, 0, n_classes)
+        counts = jnp.zeros(((cells + 1) * (n_classes + 1),), jnp.int32
+                           ).at[onehot_idx].add(1, mode="drop")
+        counts = counts[: cells * (n_classes + 1)].reshape(
+            cells, n_classes + 1)
+        counts = counts.at[:, 0].set(0)  # class 0 = unlabeled
+        maj = jnp.argmax(counts, axis=-1)
+        maj = jnp.where(counts.sum(-1) > 0, maj, 0)
+        return maj.reshape(n_az_cells, n_r_cells)
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0))(a_idx, r_idx, ok,
+                                               point_labels)
 
 
 def rotate_boxes_to_global(boxes, shift):
@@ -160,10 +210,11 @@ class PolarStreamDetector(Detector):
 
     def __init__(self, module, code_weights, weight, dataset="nuscenes",
                  voxel_size=None, test_cfg=None, carry_size=64,
-                 carry_margin=0.2):
+                 carry_margin=0.2, seg_weight=2.0):
         super().__init__(module, test_cfg)
         self.code_weights = tuple(code_weights)
         self.weight = weight
+        self.seg_weight = seg_weight
         self.dataset = dataset
         self.voxel_size = voxel_size
         self.carry_size = carry_size      # boundary dets carried to next NMS
@@ -188,6 +239,23 @@ class PolarStreamDetector(Detector):
                                   self.weight, self.dataset)
             total = total + ld["loss"]
             logs[f"sector{s}_loss"] = ld["loss"]
+
+        if "seg_preds" in preds and "points_label" in example:
+            from .seg_head import seg_loss
+
+            mod = self.module
+            seg_total = 0.0
+            for s, sp in enumerate(preds["seg_preds"]):
+                a_idx, r_idx, ok = mod.apply(
+                    variables, example["points"], example["points_mask"],
+                    s, method=type(mod).point_cells)
+                labels = majority_cell_labels(
+                    a_idx, r_idx, ok, example["points_label"],
+                    mod.sector_grid(), sp.shape[-1])
+                seg_total = seg_total + seg_loss(
+                    sp, labels, weight=self.seg_weight)
+            logs["seg_loss"] = seg_total / n_sec
+            total = total + seg_total
         logs["loss"] = total / n_sec
         return logs, updates
 
@@ -265,10 +333,24 @@ class PolarStreamDetector(Detector):
             top_c, idx_c = jax.lax.top_k(cscore, n_keep)
             carry = (jnp.take_along_axis(kb, idx_c[..., None], 1), top_c)
 
-        return {
+        ret = {
             k: jnp.concatenate([o[k] for o in outs], axis=1)
             for k in outs[0]
         }
+        if "seg_preds" in preds:
+            from .seg_head import point_labels_from_grid
+
+            plabels = []
+            for s, sp in enumerate(preds["seg_preds"]):
+                a_idx, r_idx, ok = mod.apply(
+                    variables, example["points"], example["points_mask"],
+                    s, method=type(mod).point_cells)
+                gi = jnp.stack([jnp.zeros_like(a_idx), a_idx, r_idx], -1)
+                lab = point_labels_from_grid(sp, gi)
+                plabels.append(jnp.where(ok, lab, 0))
+            # each point belongs to exactly one sector
+            ret["point_seg_labels"] = sum(plabels)
+        return ret
 
 
 @DETECTORS.register_module(name="PolarStream")
@@ -308,6 +390,7 @@ def build_polarstream(reader, neck, bbox_head, backbone=None, seg_head=None,
         reader_cfg=dict(reader),
         neck_cfg=neck_cfg,
         head_cfg=head_cfg,
+        seg_head_cfg=dict(seg_head) if seg_head else None,
         grid_size=grid,
         pc_range=pc_range,
         voxel_size=voxel_size,
@@ -322,4 +405,5 @@ def build_polarstream(reader, neck, bbox_head, backbone=None, seg_head=None,
         dataset=bbox_head.get("dataset", "nuscenes"),
         voxel_size=voxel_size,
         test_cfg=dict(test_cfg or {}),
+        seg_weight=(seg_head or {}).get("weight", 2.0),
     )

@@ -150,3 +150,39 @@ class TestConfigZoo:
             os.path.join(CFG_DIR, "waymo/waymo_partner_36epoch.py"))
         det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
         assert det is not None
+
+
+class TestMoreConfigs:
+    @pytest.mark.parametrize("rel", [
+        "nusc/pp/polarstream_det_n_seg_1_sector.py",
+        "nusc/pp/polarstream_det_n_seg_4_sector_bidirectional.py",
+        "waymo/waymo_centerpoint_voxelnet_36epoch.py",
+    ])
+    def test_builds_and_steps(self, rng, rel):
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+
+        loader = TestConfigZoo()
+        cfg = loader._load(rel)
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        boxes, pts, mask = _scene(rng, cfg.voxel_generator["range"])
+        if "waymo" in rel:
+            feats7 = jnp.concatenate(
+                [pts[..., :5], pts[..., 3:4] * 0, pts[..., 3:4] * 0], -1)
+            ex = _voxelize_example(cfg, feats7, mask)
+            boxes7 = np.concatenate([boxes[:, :6], boxes[:, -1:]], 1)
+            ex.update(_targets(cfg, boxes7))
+        else:
+            ex = {"points": pts, "points_mask": mask}
+            nsec = cfg.voxel_generator["nsectors"]
+            ex.update(_targets(cfg, boxes, nsectors=nsec))
+            if cfg.model.get("seg_head"):
+                ex["points_label"] = jnp.asarray(rng.randint(
+                    0, 17, np.asarray(mask).shape).astype(np.int32))
+        variables = det.init(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))

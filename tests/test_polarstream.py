@@ -184,3 +184,79 @@ class TestSectorTargetsAndLoss:
         variables = det.init(jax.random.PRNGKey(0), ex)
         ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
         assert np.isfinite(float(ld["loss"]))
+
+
+class TestDetSeg:
+    def test_multitask_loss_and_point_labels(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+        from partner_tpu.models.polarstream import majority_cell_labels
+
+        cfg = _pillar_cfg(2)
+        cfg["seg_head"] = dict(type="SingleConvHead", num_classes=8,
+                               weight=2.0)
+        tc = dict(score_threshold=0.05,
+                  post_center_limit_range=[-40, -40, -5, 40, 40, 5],
+                  nms=dict(nms_pre_max_size=128, nms_post_max_size=16,
+                           nms_iou_threshold=0.5))
+        det = build_detector(cfg, test_cfg=tc)
+        boxes, pts, mask = _points(rng)
+        ex = {"points": pts, "points_mask": mask,
+              "points_label": jnp.asarray(
+                  rng.randint(0, 9, np.asarray(mask).shape).astype(np.int32))}
+
+        from partner_tpu.data.pipeline import AssignLabel
+        vs = [(TINY_PR[3] - TINY_PR[0]) / GRID[0],
+              (TINY_PR[4] - TINY_PR[1]) / GRID[1],
+              TINY_PR[5] - TINY_PR[2]]
+        al = AssignLabel(cfg=dict(
+            target_assigner=dict(tasks=[dict(num_class=1,
+                                             class_names=["car"])]),
+            out_size_factor=2, max_objs=16, voxel_shape="cylinder",
+            nsectors=2,
+        ), with_votemap=False, with_global_box=False)
+        res = {"mode": "train",
+               "lidar": {"voxels": dict(shape=(GRID[0], GRID[1], 1),
+                                        range=np.asarray(TINY_PR),
+                                        size=np.asarray(vs)),
+                         "annotations": {
+                             "gt_boxes": boxes,
+                             "gt_classes": np.ones(len(boxes), np.int64)}}}
+        res, _ = al(res, {})
+        for k in ("hm", "anno_box", "ind", "mask", "cat"):
+            ex[k] = [jnp.asarray(res["lidar"]["targets"][k][0])[None]]
+
+        variables = det.init(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert "seg_loss" in ld and np.isfinite(float(ld["seg_loss"]))
+        assert np.isfinite(float(ld["loss"]))
+
+        out = det.predict(variables, ex)
+        assert "point_seg_labels" in out
+        lab = np.asarray(out["point_seg_labels"])
+        assert lab.shape == np.asarray(mask).shape
+        m = np.asarray(mask)
+        assert lab[m].min() >= 0 and lab[m].max() <= 8
+
+    def test_majority_labels_oracle(self, rng):
+        import jax.numpy as jnp
+        from partner_tpu.models.polarstream import majority_cell_labels
+
+        grid = (4, 6, 1)  # n_r=4, n_az=6
+        n = 50
+        a = rng.randint(0, 6, n).astype(np.int32)
+        r = rng.randint(0, 4, n).astype(np.int32)
+        ok = rng.rand(n) > 0.1
+        lab = rng.randint(0, 4, n).astype(np.int32)  # classes 0..3 (0=unlab)
+        got = np.asarray(majority_cell_labels(
+            jnp.asarray(a)[None], jnp.asarray(r)[None],
+            jnp.asarray(ok)[None], jnp.asarray(lab)[None], grid, 3))[0]
+        want = np.zeros((6, 4), np.int64)
+        for ai in range(6):
+            for ri in range(4):
+                sel = (a == ai) & (r == ri) & ok & (lab > 0)
+                if sel.any():
+                    want[ai, ri] = np.bincount(lab[sel], minlength=4)[1:].argmax() + 1
+        np.testing.assert_array_equal(got, want)
