@@ -1,0 +1,65 @@
+"""Ensemble NMS + multi-sweep inference tools + dist single-host."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+sys.path.insert(0, TOOLS)
+
+
+class TestEnsembleNMS:
+    def test_duplicates_across_models_collapse(self, rng):
+        import nms_ensemble
+
+        b = np.zeros((2, 7), np.float32)
+        b[:, :2] = [[5, 0], [0, 8]]
+        b[:, 3:6] = [4, 2, 1.6]
+        pa = {"t0": {"box3d_lidar": b, "scores": np.array([0.9, 0.8]),
+                     "label_preds": np.array([0, 0])}}
+        bb = b.copy(); bb[:, 0] += 0.05
+        pb = {"t0": {"box3d_lidar": bb, "scores": np.array([0.7, 0.95]),
+                     "label_preds": np.array([0, 0])}}
+        out = nms_ensemble.ensemble([pa, pb], iou=0.5, post=10)
+        assert len(out["t0"]["scores"]) == 2  # 4 boxes -> 2 objects
+
+    def test_weighting(self, rng):
+        import nms_ensemble
+
+        b = np.zeros((1, 7), np.float32); b[0, 3:6] = [4, 2, 1.6]
+        pa = {"t0": {"box3d_lidar": b, "scores": np.array([1.0]),
+                     "label_preds": np.array([0])}}
+        out = nms_ensemble.ensemble([pa], weights=[0.5])
+        assert out["t0"]["scores"][0] == pytest.approx(0.5)
+
+
+class TestMultiSweepCLI:
+    def test_runs_on_synthetic_frames(self, rng, tmp_path):
+        # synthetic waymo-like frames with poses moving forward
+        infos = []
+        for fi in range(4):
+            n = 3000
+            pts = rng.uniform(-40, 40, (n, 5)).astype(np.float32)
+            pose = np.eye(4); pose[0, 3] = 2.0 * fi
+            infos.append({"token": f"seq_0_frame_{fi}", "timestamp": float(fi),
+                          "points": pts, "pose": pose})
+        info_p = tmp_path / "infos.pkl"
+        with open(info_p, "wb") as f:
+            pickle.dump(infos, f)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1")
+        cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                           "tests", "tiny_synthetic.py")
+        r = subprocess.run(
+            [sys.executable, os.path.join(TOOLS, "multi_sweep_inference.py"),
+             cfg, "--info_path", str(info_p), "--nsweeps", "3",
+             "--max_points", "20000", "--work_dir", str(tmp_path / "o")],
+            capture_output=True, text=True, env=env, timeout=560)
+        assert r.returncode == 0, r.stderr[-800:]
+        with open(tmp_path / "o" / "prediction.pkl", "rb") as f:
+            dets = pickle.load(f)
+        assert len(dets) == 4

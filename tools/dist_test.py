@@ -43,6 +43,9 @@ def main():
     from partner_tpu.train.checkpoint import load_checkpoint
     from partner_tpu.train.config import Config
     from partner_tpu.train.hooks import get_logger
+    from partner_tpu.parallel import dist
+
+    dist.initialize()
 
     cfg = Config.fromfile(args.config)
     os.makedirs(args.work_dir, exist_ok=True)
@@ -128,10 +131,17 @@ def main():
     fps = args.batch_size * len(window) / sum(window)
     logger.info(f"frames: {n_frames}, middle-third FPS: {fps:.2f}")
 
-    with open(os.path.join(args.work_dir, "prediction.pkl"), "wb") as f:
-        pickle.dump(detections, f)
-    result = dataset.evaluation(detections, output_dir=args.work_dir)
-    logger.info(f"evaluation: {result}")
+    # gather per-host detections (the reference's pickle all_gather,
+    # tools/dist_test.py:197-201) and evaluate on the main process
+    gathered = dist.all_gather_object(detections)
+    if dist.is_main_process():
+        merged = {}
+        for d in gathered:
+            merged.update(d)
+        with open(os.path.join(args.work_dir, "prediction.pkl"), "wb") as f:
+            pickle.dump(merged, f)
+        result = dataset.evaluation(merged, output_dir=args.work_dir)
+        logger.info(f"evaluation: {result}")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,11 @@ def parse_args():
     p.add_argument("--total_steps", type=int, default=None)
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     p.add_argument("--max_points", type=int, default=200000)
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY 5.2 sanitizer mode)")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--tensorboard", action="store_true")
     return p.parse_args()
 
 
@@ -68,9 +73,16 @@ def main():
     )
     from partner_tpu.train.optim import build_one_cycle_optimizer, one_cycle_lr
     from partner_tpu.train.train_state import create_train_state, make_train_step
+    from partner_tpu.parallel import dist
+
+    # multi-host: connect to the coordinator when env vars request it
+    # (JAX_NUM_PROCESSES / JAX_COORDINATOR_ADDRESS); no-op single host
+    dist.initialize()
 
     cfg = Config.fromfile(args.config)
     work_dir = args.work_dir or cfg.get("work_dir", "./work_dir")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(work_dir, exist_ok=True)
     logger = get_logger(work_dir)
     logger.info(f"devices: {jax.devices()}")
@@ -166,6 +178,11 @@ def main():
     text_hook = TextLoggerHook(
         logger, interval=dict(cfg.get("log_config", {})).get("interval", 5)
     )
+    tb_hook = None
+    if args.tensorboard:
+        from partner_tpu.train.hooks import TensorBoardLoggerHook
+
+        tb_hook = TensorBoardLoggerHook(os.path.join(work_dir, "tb"))
     timer = IterTimer()
     rng = jax.random.PRNGKey(args.seed + 1)
 
@@ -176,6 +193,11 @@ def main():
         for batch in ([first] if step_i == start_step and epoch == 0 else loader):
             if step_i >= total_steps:
                 break
+            if args.profile_dir and step_i == start_step + 10:
+                jax.profiler.start_trace(args.profile_dir)
+            if args.profile_dir and step_i == start_step + 15:
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {args.profile_dir}")
             data_time = timer.lap()
             ex = example_to_device(batch, None, det)
             transfer_time = timer.lap()
@@ -196,6 +218,10 @@ def main():
                 buffer, step_i, epoch, float(lr_sched(step_i)),
                 steps_per_epoch,
             )
+            if tb_hook is not None:
+                tb_hook.log(step_i, {"loss": loss,
+                                     "grad_norm": float(metrics["grad_norm"])},
+                            lr=float(lr_sched(step_i)))
             step_i += 1
             if args.max_steps_per_epoch and step_i % steps_per_epoch == 0:
                 break
