@@ -19,6 +19,7 @@ Maps are NHWC (B, az, r, C); the context/halo axis is axis 1.
 from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..parallel.halo import ring_halo
@@ -204,3 +205,85 @@ class RPNHalo(_StreamRPNBase):
             if j >= 0:
                 ups.append(self._deblock(x, j, train))
         return jnp.concatenate(ups, axis=-1) if ups else x
+
+
+@NECKS.register_module(name="RPNUber")
+class RPNUber(_StreamRPNBase):
+    """Previous-sweep feature concat neck (necks/rpn_uber.py): each block's
+    input is concatenated with the previous sweep's features at the same
+    resolution; contexts returned are this sweep's per-block inputs."""
+
+    @nn.compact
+    def __call__(self, x, prev_sweep=None, train: bool = True):
+        ups, new_ctx = [], []
+        upsample_start = len(self.layer_nums) - len(self.us_layer_strides)
+        for i, n_layers in enumerate(self.layer_nums):
+            new_ctx.append(x)
+            prev = (prev_sweep[i] if prev_sweep is not None
+                    else jnp.zeros_like(x))
+            x = jnp.concatenate([x, prev], axis=-1)
+            for li in range(n_layers + 1):
+                stride = self.ds_layer_strides[i] if li == 0 else 1
+                x = nn.Conv(self.ds_num_filters[i], (3, 3),
+                            strides=(stride,) * 2, padding=1,
+                            use_bias=False, name=f"block{i}_conv{li}")(x)
+                x = BatchNorm(use_running_average=not train,
+                              name=f"block{i}_bn{li}")(x)
+                x = nn.relu(x)
+            j = i - upsample_start
+            if j >= 0:
+                ups.append(self._deblock(x, j, train))
+        out = jnp.concatenate(ups, axis=-1) if ups else x
+        return out, new_ctx
+
+
+class ConvLSTMCell(nn.Module):
+    """Convolutional LSTM over BEV maps — the temporal memory of the
+    reference's streaming waymo detectors (streaming_waymo.py:30-60)."""
+
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, state):
+        """x (B, H, W, C); state = (h, c) same spatial shape or None."""
+        if state is None:
+            h = jnp.zeros(x.shape[:-1] + (self.features,), x.dtype)
+            c = jnp.zeros_like(h)
+        else:
+            h, c = state
+        z = nn.Conv(4 * self.features, (self.kernel, self.kernel),
+                    padding="SAME", name="gates")(
+            jnp.concatenate([x, h], axis=-1))
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return h, (h, c)
+
+
+@NECKS.register_module(name="RPNWaymoLSTM")
+class RPNWaymoLSTM(_StreamRPNBase):
+    """RPN with a ConvLSTM memory on the input canvas (the RPNWaymo /
+    PointPillarsLSTM pattern: necks/rpn_waymo.py + streaming_waymo.py)."""
+
+    @nn.compact
+    def __call__(self, x, prev_state=None, train: bool = True):
+        h, new_state = ConvLSTMCell(self.num_input_features,
+                                    name="memory")(x, prev_state)
+        x = jnp.concatenate([x, h], axis=-1)
+        ups = []
+        upsample_start = len(self.layer_nums) - len(self.us_layer_strides)
+        for i, n_layers in enumerate(self.layer_nums):
+            for li in range(n_layers + 1):
+                stride = self.ds_layer_strides[i] if li == 0 else 1
+                x = nn.Conv(self.ds_num_filters[i], (3, 3),
+                            strides=(stride,) * 2, padding=1,
+                            use_bias=False, name=f"block{i}_conv{li}")(x)
+                x = BatchNorm(use_running_average=not train,
+                              name=f"block{i}_bn{li}")(x)
+                x = nn.relu(x)
+            j = i - upsample_start
+            if j >= 0:
+                ups.append(self._deblock(x, j, train))
+        out = jnp.concatenate(ups, axis=-1) if ups else x
+        return out, new_state

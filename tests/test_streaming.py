@@ -106,3 +106,38 @@ class TestRPNTECP:
         _, ctx = model.apply(v, x, None, train=False)
         assert len(ctx) == 4  # (1 + layer_num) per scale
         assert all(c.shape[1] == 1 for c in ctx)
+
+
+class TestUberAndLSTM:
+    def test_rpn_uber_context_carry(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from partner_tpu.models.rpn_stream import RPNUber
+
+        neck = RPNUber(layer_nums=(1, 1), ds_layer_strides=(1, 2),
+                       ds_num_filters=(16, 32), us_layer_strides=(1, 2),
+                       us_num_filters=(16, 16), num_input_features=8)
+        x = jnp.asarray(rng.rand(1, 16, 12, 8).astype(np.float32))
+        v = neck.init(jax.random.PRNGKey(0), x)
+        out1, ctx = neck.apply(v, x, train=False)
+        assert out1.shape == (1, 16, 12, 32)
+        assert len(ctx) == 2 and ctx[0].shape == x.shape
+        out2, _ = neck.apply(v, x, ctx, train=False)
+        # a real previous sweep changes the output vs the zero init
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_conv_lstm_state_evolves(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from partner_tpu.models.rpn_stream import RPNWaymoLSTM
+
+        neck = RPNWaymoLSTM(layer_nums=(1,), ds_layer_strides=(1,),
+                            ds_num_filters=(16,), us_layer_strides=(1,),
+                            us_num_filters=(16,), num_input_features=8)
+        x = jnp.asarray(rng.rand(1, 16, 12, 8).astype(np.float32))
+        v = neck.init(jax.random.PRNGKey(0), x)
+        o1, st = neck.apply(v, x, train=False)
+        o2, st2 = neck.apply(v, x, st, train=False)
+        assert o1.shape == o2.shape
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+        assert np.all(np.isfinite(np.asarray(st2[0])))
