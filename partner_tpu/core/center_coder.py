@@ -65,7 +65,8 @@ class CenterCoder:
     def decode(self, preds):
         """Encoded predictions -> raw boxes [x, y, z, dx, dy, dz, yaw, ...]."""
         xyz = preds[..., :3]
-        dims = jnp.exp(preds[..., 3:6])
+        # clamp: raw dim logits can spike early in training; e^8 = 3 km
+        dims = jnp.exp(jnp.clip(preds[..., 3:6], -8.0, 8.0))
         if self.encode_angle_by_sincos:
             yaw = jnp.arctan2(preds[..., 7], preds[..., 6])
             extra = preds[..., 8:]

@@ -350,7 +350,7 @@ def center_head_decode(preds, grid_hw, voxel_size, pc_range, out_size_factor,
     b, h, w, ncls = preds["hm"].shape
     n = h * w
     hm = jax.nn.sigmoid(preds["hm"]).reshape(b, n, ncls)
-    dims = jnp.exp(preds["dim"]).reshape(b, n, 3)
+    dims = jnp.exp(jnp.clip(preds["dim"], -8.0, 8.0)).reshape(b, n, 3)
     # targets store (sin, cos) (preprocess.py:330-341)
     rot = jnp.arctan2(preds["rot"][..., 0], preds["rot"][..., 1]).reshape(b, n)
     hei = preds["height"].reshape(b, n)

@@ -187,7 +187,7 @@ class E2ESWVoteHead(nn.Module):
         b, h, w, ncls = preds["hm"].shape
         n = h * w
         hm = jax.nn.sigmoid(preds["hm"]).reshape(b, n, ncls)
-        dims = jnp.exp(preds["dim"]).reshape(b, n, 3)
+        dims = jnp.exp(jnp.clip(preds["dim"], -8.0, 8.0)).reshape(b, n, 3)
         rot = jnp.arctan2(preds["rot"][..., 1], preds["rot"][..., 0]).reshape(b, n)
         hei = preds["height"].reshape(b, n)
         xy = self.get_proper_xy(preds["reg"]).reshape(b, n, 2)

@@ -99,10 +99,13 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(nb, t, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] + ve, qkv[1] + ve, qkv[2] + ve  # (nB, nh, T, hd)
 
-        qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
-        kn = jnp.linalg.norm(k, axis=-1, keepdims=True)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.maximum(
-            qn * kn.transpose(0, 1, 3, 2), 1e-6
+        # eps INSIDE the sqrt: the plain L2 norm has a NaN gradient at
+        # exactly-zero vectors (padded cells at init), and clamping the
+        # product downstream does not fix the norm's own VJP
+        qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+        kn = jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) / (
+            qn * kn.transpose(0, 1, 3, 2)
         )
         tau = self.param("tau", nn.initializers.ones, (1, nh, 1, 1))
         attn = attn / jnp.clip(tau, min=0.01)

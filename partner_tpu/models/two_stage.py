@@ -203,8 +203,10 @@ class TwoStageDetector(Detector):
         self.roi_weight = roi_weight
 
     def init(self, rng, example):
-        return self.module.init(rng, example,
-                                method=TwoStageModule.init_all)
+        import functools
+
+        return jax.jit(functools.partial(
+            self.module.init, method=TwoStageModule.init_all))(rng, example)
 
     def loss(self, variables, example, rng=None, train=True):
         from .center_head import center_head_decode, center_head_loss

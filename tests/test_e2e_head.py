@@ -126,3 +126,29 @@ class TestE2ELoss:
             jnp.zeros((2, 4), bool),
         )
         assert np.isfinite(float(ld["loss"]))
+
+
+class TestZeroInputGradients:
+    def test_swin_vote_grads_finite_on_zero_rows(self, rng):
+        """Padded (all-zero) cells gave exactly-zero q/k at init; the plain
+        L2-norm cosine attention then had NaN gradients (0/0 in the norm
+        VJP). Regression for the eps-inside-sqrt fix."""
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models.swin_vote import WindowAttention
+
+        attn = WindowAttention(dim=32, num_heads=2)
+        x = jnp.zeros((2, 16, 32))  # all-zero windows (padded region)
+        pos = jnp.zeros((2, 16, 2))
+        vote = jnp.zeros((2, 16, 3))
+        v = attn.init(jax.random.PRNGKey(0), x, pos, vote)
+
+        def loss(params, x):
+            return jnp.sum(attn.apply({"params": params}, x, pos, vote) ** 2)
+
+        gp = jax.grad(loss)(v["params"], x)
+        leaves = jax.tree_util.tree_leaves(gp)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+        gx = jax.grad(loss, argnums=1)(v["params"], x)
+        assert bool(jnp.isfinite(gx).all())
