@@ -63,3 +63,21 @@ class TestMultiSweepCLI:
         with open(tmp_path / "o" / "prediction.pkl", "rb") as f:
             dets = pickle.load(f)
         assert len(dets) == 4
+
+
+class TestInstanceIds:
+    def test_points_in_boxes_get_box_ids(self, rng):
+        import generate_instance_ids as gii
+
+        boxes = np.array([[5, 0, 0, 4, 2, 1.6, 0.0],
+                          [-6, 3, 0, 4, 2, 1.6, 1.0]], np.float32)
+        pts = np.concatenate([
+            boxes[0, :3] + (rng.rand(50, 3) - 0.5) * boxes[0, 3:6] * 0.8,
+            boxes[1, :3] + (rng.rand(50, 3) - 0.5) * boxes[1, 3:6] * 0.8,
+            rng.uniform(20, 40, (100, 3)),
+        ]).astype(np.float32)
+        labels = np.ones(len(pts), np.int64)
+        inst = gii.instance_ids_for_frame(pts, labels, boxes, [1])
+        assert set(inst[:50]) == {1}
+        assert set(inst[50:100]) == {2}
+        assert set(inst[100:]) == {0}
