@@ -71,9 +71,16 @@ class TestInstanceIds:
 
         boxes = np.array([[5, 0, 0, 4, 2, 1.6, 0.0],
                           [-6, 3, 0, 4, 2, 1.6, 1.0]], np.float32)
+        def in_box(b, n=50):
+            local = (rng.rand(n, 3) - 0.5) * b[3:6] * 0.8
+            c, s_ = np.cos(b[6]), np.sin(b[6])
+            rot = local.copy()
+            rot[:, 0] = local[:, 0] * c - local[:, 1] * s_
+            rot[:, 1] = local[:, 0] * s_ + local[:, 1] * c
+            return rot + b[:3]
+
         pts = np.concatenate([
-            boxes[0, :3] + (rng.rand(50, 3) - 0.5) * boxes[0, 3:6] * 0.8,
-            boxes[1, :3] + (rng.rand(50, 3) - 0.5) * boxes[1, 3:6] * 0.8,
+            in_box(boxes[0]), in_box(boxes[1]),
             rng.uniform(20, 40, (100, 3)),
         ]).astype(np.float32)
         labels = np.ones(len(pts), np.int64)
