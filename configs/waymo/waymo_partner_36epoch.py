@@ -97,6 +97,7 @@ model = dict(
     backbone=dict(type="PolarDenseFHD", num_input_features=7, ds_factor=8),
     neck=dict(
         type="RPN",
+        compute_dtype="bfloat16",
         layer_nums=[5, 5],
         ds_layer_strides=[1, 2],
         ds_num_filters=[128, 256],

@@ -68,15 +68,28 @@ def rotated_nms(boxes, scores, iou_threshold, post_max_size):
     iou = iou.reshape(n_pad, n)[:n]
     suppress_mat = (iou > iou_threshold) & valid[:, None] & valid[None, :]
 
+    # greedy recurrence as a Jacobi fixpoint instead of an n-step scan:
+    #   kept[i] = valid[i] & no kept higher-score box suppresses i
+    # each sweep fixes at least one more suppression-chain layer, so it
+    # converges to exactly the sequential greedy solution in chain-depth
+    # iterations (typically < 20) — each sweep is one masked matvec
+    # instead of n sequential scan steps.
     col = jnp.arange(n)
+    upper = col[:, None] < col[None, :]  # j suppresses i only if j < i
+    sup_u = suppress_mat & upper
 
-    def step(alive, i):
-        keep_i = alive[i] & valid[i]
-        alive = alive & ~(suppress_mat[i] & keep_i & (col > i))
-        return alive, keep_i
+    def cond(state):
+        kept, prev, it = state
+        return (it < n) & jnp.any(kept != prev)
 
-    _, kept = jax.lax.scan(step, jnp.ones((n,), bool), col, unroll=8)
-    kept = kept & valid
+    def body(state):
+        kept, _, it = state
+        new = valid & ~jnp.any(sup_u & kept[:, None], axis=0)
+        return new, kept, it + 1
+
+    kept0 = valid
+    kept, _, _ = jax.lax.while_loop(
+        cond, body, (kept0, jnp.zeros((n,), bool), jnp.int32(0)))
 
     # kept-first stable ordering preserves score order among the kept
     pick = jnp.argsort(~kept, stable=True)[:post_max_size]
