@@ -146,7 +146,20 @@ def points_in_rbbox(points, boxes):
 
     Vectorized replacement for reference points_count_rbbox / numba kernels:
     transform points into each box frame and compare against half-dims.
+    Dispatches to the native C++ kernel when built (partner_tpu.native);
+    ``points_in_rbbox_np`` is the fallback and parity oracle.
     """
+    if len(boxes) == 0:
+        return np.zeros((points.shape[0], 0), dtype=bool)
+    from .. import native
+
+    if native.available():
+        return native.points_in_rbbox(points, boxes)
+    return points_in_rbbox_np(points, boxes)
+
+
+def points_in_rbbox_np(points, boxes):
+    """Vectorized-numpy membership (the oracle implementation)."""
     if len(boxes) == 0:
         return np.zeros((points.shape[0], 0), dtype=bool)
     shift = points[:, None, :3] - boxes[None, :, :3]  # (P, N, 3)

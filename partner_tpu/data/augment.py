@@ -76,7 +76,21 @@ def box_collision_test(corners_a, corners_b):
     """Exact rectangle-overlap test via separating axes.
 
     corners_a (N, 4, 2), corners_b (K, 4, 2) -> bool (N, K), True = overlap.
+    Dispatches to the native C++ kernel when built (partner_tpu.native);
+    ``box_collision_test_np`` is the fallback and parity oracle.
     """
+    n, k = len(corners_a), len(corners_b)
+    if n == 0 or k == 0:
+        return np.zeros((n, k), dtype=bool)
+    from .. import native
+
+    if native.available():
+        return native.box_collision_test(corners_a, corners_b)
+    return box_collision_test_np(corners_a, corners_b)
+
+
+def box_collision_test_np(corners_a, corners_b):
+    """Vectorized-numpy SAT overlap (the oracle implementation)."""
     n, k = len(corners_a), len(corners_b)
     if n == 0 or k == 0:
         return np.zeros((n, k), dtype=bool)

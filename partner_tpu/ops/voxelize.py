@@ -39,6 +39,13 @@ class VoxelGenerator:
     def generate(self, points, max_voxels=-1):
         if max_voxels == -1:
             max_voxels = self.max_voxels
+        from .. import native
+
+        if native.available() and points.dtype == np.float32:
+            return native.points_to_voxel(
+                points, self.voxel_size, self.point_cloud_range,
+                self.max_num_points, max_voxels,
+            )
         return points_to_voxel(
             points, self.voxel_size, self.point_cloud_range,
             self.max_num_points, max_voxels,
