@@ -79,3 +79,56 @@ class CenterCoder:
 
     # alias kept for parity with the reference API name
     decode_torch = decode
+
+
+class CenterCoderV2(CenterCoder):
+    """Grid-relative variant of the coder
+    (/root/reference/det3d/models/e2e_utils/box_coder_utils.py:280-497).
+
+    Same absolute-xyz / log-dim / sincos encoding as CenterCoder, but
+    ``get_delta`` treats the predicted yaw as RELATIVE to the emitting grid
+    cell's azimuth when ``rectify`` is on: the prediction's (cos, sin) is
+    rotated into the global frame by the cell angle atan2(y_grid, x_grid)
+    before differencing against the gt yaw (box_coder_utils.py:389-437).
+    Also provides ``encode_with_rois`` — the diagonal-normalized RoI-relative
+    encoding used by second-stage refinement (box_coder_utils.py:466-497).
+    """
+
+    def get_delta(self, gt_boxes, preds, x_grid=None, y_grid=None, **kwargs):
+        if not self.encode_angle_by_sincos:
+            raise NotImplementedError(
+                "CenterCoderV2.get_delta requires sincos mode "
+                "(box_coder_utils.py:434 raises likewise)")
+        g = self._prep(gt_boxes)
+        xyz_t = g[..., :3] - preds[..., :3]
+        dims_t = jnp.log(g[..., 3:6]) - preds[..., 3:6]
+        cosp, sinp = preds[..., 6], preds[..., 7]
+        if self.rectify:
+            assert x_grid is not None and y_grid is not None
+            theta = jnp.arctan2(sinp, cosp) + jnp.arctan2(y_grid, x_grid)
+            theta = wrap_angle_pi(theta)
+            cosp, sinp = jnp.cos(theta), jnp.sin(theta)
+        rg = g[..., 6]
+        ang_t = jnp.stack([jnp.cos(rg) - cosp, jnp.sin(rg) - sinp], axis=-1)
+        extra_t = g[..., 7:] - preds[..., 8:]
+        return jnp.concatenate([xyz_t, dims_t, ang_t, extra_t], axis=-1)
+
+    def encode_with_rois(self, boxes, rois):
+        """RoI-relative encoding: centers normalized by the RoI BEV diagonal,
+        z by RoI height, dims as log ratios, yaw by difference/sincos."""
+        b = self._prep(boxes)
+        r = self._prep(rois)
+        diag = jnp.sqrt(r[..., 3] ** 2 + r[..., 4] ** 2)
+        xt = (b[..., 0] - r[..., 0]) / diag
+        yt = (b[..., 1] - r[..., 1]) / diag
+        zt = (b[..., 2] - r[..., 2]) / r[..., 5]
+        dims_t = jnp.log(b[..., 3:6] / r[..., 3:6])
+        if self.encode_angle_by_sincos:
+            ang = jnp.stack([jnp.cos(b[..., 6]) - jnp.cos(r[..., 6]),
+                             jnp.sin(b[..., 6]) - jnp.sin(r[..., 6])], axis=-1)
+        else:
+            ang = (b[..., 6] - r[..., 6])[..., None]
+        extra = b[..., 7:] - r[..., 7:]
+        return jnp.concatenate(
+            [jnp.stack([xt, yt, zt], axis=-1), dims_t, ang, extra], axis=-1
+        )

@@ -50,7 +50,8 @@ def matching_benefit(pred_logits, pred_boxes, gt_classes, gt_encoded, gt_mask,
 
 
 def _topc_candidates(benefit, c):
-    vals, idx = jax.lax.top_k(benefit, c)  # (M, C)
+    # small scenes can have fewer queries than the candidate budget
+    vals, idx = jax.lax.top_k(benefit, min(c, benefit.shape[-1]))  # (M, C)
     return vals, idx
 
 

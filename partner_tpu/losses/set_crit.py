@@ -33,7 +33,9 @@ class SetCriterion:
     def __init__(self, box_coder: CenterCoder, weight_dict, losses, sigma=3.0,
                  code_weights=(1.0,) * 8, gamma=2.0, alpha=0.25,
                  matcher_weights=None, matcher_impl="auction",
+                 iou_reg_type="DIoU",
                  axis_name: Optional[str] = None):
+        self.iou_reg_type = iou_reg_type
         self.coder = box_coder
         self.weight_dict = weight_dict
         self.losses = losses
@@ -127,6 +129,15 @@ class SetCriterion:
             )
             li = smooth_l1_torch(p_iou - t_iou) * matched
             out["loss_iou"] = li.sum() / num_boxes
+
+        # --- loss_iou_reg (DIoU box regression, set_crit.py:187-190) ---
+        if "loss_iou_reg" in self.losses:
+            from .iou_losses import iou_reg_loss
+
+            dec = self.coder.decode(pred_matched)[..., :7]
+            out["loss_iou_reg"] = iou_reg_loss(
+                dec, gt_boxes[..., :7], self.iou_reg_type, mask=matched
+            ) / num_boxes
 
         total = sum(
             out[k] * self.weight_dict[k] for k in out if k in self.weight_dict

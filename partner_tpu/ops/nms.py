@@ -68,12 +68,24 @@ def rotated_nms(boxes, scores, iou_threshold, post_max_size):
     iou = iou.reshape(n_pad, n)[:n]
     suppress_mat = (iou > iou_threshold) & valid[:, None] & valid[None, :]
 
-    # greedy recurrence as a Jacobi fixpoint instead of an n-step scan:
-    #   kept[i] = valid[i] & no kept higher-score box suppresses i
-    # each sweep fixes at least one more suppression-chain layer, so it
-    # converges to exactly the sequential greedy solution in chain-depth
-    # iterations (typically < 20) — each sweep is one masked matvec
-    # instead of n sequential scan steps.
+    kept = _greedy_keep(suppress_mat, valid)
+
+    # kept-first stable ordering preserves score order among the kept
+    pick = jnp.argsort(~kept, stable=True)[:post_max_size]
+    return order[pick].astype(jnp.int32), kept[pick]
+
+
+def _greedy_keep(suppress_mat, valid):
+    """Resolve the greedy NMS recurrence over a score-sorted suppression
+    matrix as a Jacobi fixpoint instead of an n-step scan:
+
+      kept[i] = valid[i] & no kept higher-score box suppresses i
+
+    Each sweep fixes at least one more suppression-chain layer, so it
+    converges to exactly the sequential greedy solution in chain-depth
+    iterations (typically < 20) — each sweep is one masked matvec
+    instead of n sequential scan steps."""
+    n = suppress_mat.shape[0]
     col = jnp.arange(n)
     upper = col[:, None] < col[None, :]  # j suppresses i only if j < i
     sup_u = suppress_mat & upper
@@ -87,11 +99,29 @@ def rotated_nms(boxes, scores, iou_threshold, post_max_size):
         new = valid & ~jnp.any(sup_u & kept[:, None], axis=0)
         return new, kept, it + 1
 
-    kept0 = valid
     kept, _, _ = jax.lax.while_loop(
-        cond, body, (kept0, jnp.zeros((n,), bool), jnp.int32(0)))
+        cond, body, (valid, jnp.zeros((n,), bool), jnp.int32(0)))
+    return kept
 
-    # kept-first stable ordering preserves score order among the kept
+
+@functools.partial(jax.jit, static_argnames=("post_max_size",))
+def circle_nms(centers, scores, min_radius, post_max_size):
+    """Greedy center-distance NMS — the reference's numba circle-NMS
+    (/root/reference/det3d/core/utils/circle_nms_jit.py, wrapped at
+    core/utils/center_utils.py:82-91): suppress any lower-scored box whose
+    center lies within ``min_radius`` of a kept box's center.
+
+    centers: (N, 2); padded rows must carry score <= NEG_INF.
+    Returns (keep_idx (K,), keep_mask (K,))."""
+    n = centers.shape[0]
+    s = jnp.where(jnp.isfinite(scores), scores, NEG_INF)
+    order = jnp.argsort(-s)
+    c = centers[order]
+    valid = s[order] > NEG_INF / 2
+
+    d2 = jnp.sum((c[:, None, :] - c[None, :, :]) ** 2, axis=-1)
+    suppress_mat = (d2 <= min_radius ** 2) & valid[:, None] & valid[None, :]
+    kept = _greedy_keep(suppress_mat, valid)
     pick = jnp.argsort(~kept, stable=True)[:post_max_size]
     return order[pick].astype(jnp.int32), kept[pick]
 
