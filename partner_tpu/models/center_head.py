@@ -171,6 +171,68 @@ class SepHead(nn.Module):
         return out
 
 
+class FeatureAdaption(nn.Module):
+    """DCN-v1 feature adaption (center_head.py:25-63): a zero-initialized
+    1x1 conv predicts per-tap offsets, a deformable 3x3 conv resamples the
+    features, ReLU. Zero-init makes it an identity-neighborhood conv at
+    start of training, exactly like the reference's ``init_offset``."""
+
+    out_channels: int
+    kernel: int = 3
+    deformable_groups: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.deform_conv import deform_conv2d
+
+        g, k = self.deformable_groups, self.kernel * self.kernel
+        offsets = nn.Conv(g * k * 2, (1, 1), use_bias=True,
+                          kernel_init=nn.initializers.zeros,
+                          name="conv_offset")(x)
+        c = x.shape[-1]
+        w = self.param(
+            "deform_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (k, c, self.out_channels),
+        )
+        b = self.param("deform_bias", nn.initializers.zeros,
+                       (self.out_channels,))
+        y = deform_conv2d(x, offsets, w, bias=b, kernel=self.kernel,
+                          deformable_groups=g)
+        return nn.relu(y)
+
+
+class DCNSepHead(nn.Module):
+    """Separate DCN-adapted features for classification vs regression
+    (center_head.py:111-163): two FeatureAdaption branches, a conv-BN-conv
+    heatmap head on the cls branch, a SepHead on the reg branch."""
+
+    num_cls: int
+    heads: Any  # dict name -> (out_channels, num_conv), WITHOUT 'hm'
+    head_conv: int = 64
+    init_bias: float = -2.19
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_ch = x.shape[-1]
+        center_feat = FeatureAdaption(in_ch, name="feature_adapt_cls")(x)
+        reg_feat = FeatureAdaption(in_ch, name="feature_adapt_reg")(x)
+
+        y = nn.Conv(self.head_conv, (3, 3), padding=1)(center_feat)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3)(y)
+        y = nn.relu(y)
+        hm = nn.Conv(self.num_cls, (3, 3), padding=1,
+                     bias_init=nn.initializers.constant(self.init_bias),
+                     name="hm_out")(y)
+
+        ret = SepHead(heads=tuple(sorted(dict(self.heads).items())),
+                      init_bias=self.init_bias, name="task_head")(
+                          reg_feat, train)
+        ret["hm"] = hm
+        return ret
+
+
 def _split_merged_heads(head_name, tensor):
     """'rot_vel' -> {'rot': ..., 'vel': ...} channel split."""
     names = head_name.split("_")
@@ -187,6 +249,7 @@ class CenterHead(nn.Module):
     share_conv_channel: int = 64
     num_hm_conv: int = 2
     init_bias: float = -2.19
+    dcn_head: bool = False  # DCNSepHead path (nusc *_dcn configs)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -194,12 +257,21 @@ class CenterHead(nn.Module):
         x = nn.relu(x)
         rets = []
         for i, task in enumerate(list(self.tasks)):
-            heads = dict(self.common_heads or {})
-            heads["hm"] = (len(task["class_names"]), self.num_hm_conv)
-            rets.append(
-                SepHead(heads=tuple(sorted(heads.items())),
-                        init_bias=self.init_bias, name=f"task{i}")(x, train)
-            )
+            if self.dcn_head:
+                rets.append(
+                    DCNSepHead(num_cls=len(task["class_names"]),
+                               heads=dict(self.common_heads or {}),
+                               init_bias=self.init_bias,
+                               name=f"task{i}")(x, train)
+                )
+            else:
+                heads = dict(self.common_heads or {})
+                heads["hm"] = (len(task["class_names"]), self.num_hm_conv)
+                rets.append(
+                    SepHead(heads=tuple(sorted(heads.items())),
+                            init_bias=self.init_bias, name=f"task{i}")(
+                                x, train)
+                )
         return {"det_preds": rets}
 
 
