@@ -3,7 +3,7 @@ from .registry import (  # noqa: F401
     Registry, build_from_cfg,
 )
 from . import backbone, backbone_dense, center_head, detectors, e2e_head, pillar, readers, rpn  # noqa: F401
-from . import polarstream, rpn_stream, two_stage, seg_head, set_transformer, sparse, swin_vote  # noqa: F401
+from . import cswin, polarstream, rpn_stream, strobe, two_stage, seg_head, set_transformer, sparse, swin_vote  # noqa: F401
 
 
 def build_detector(cfg, train_cfg=None, test_cfg=None, **kwargs):

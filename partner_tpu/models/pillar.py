@@ -168,8 +168,10 @@ class PointPillarsModule(nn.Module):
         head_cfg.setdefault("out_size_factor", self.out_size_factor)
         self.bbox_head = build_from_cfg(head_cfg, BBOX_HEADS)
 
-    def __call__(self, example, train: bool = True):
-        """Pillars for the whole batch are flattened into one segment space
+    def encode_canvas(self, points, points_mask, train: bool = True):
+        """points (B, P, C) -> BEV canvas (B, n_az, n_r, F).
+
+        Pillars for the whole batch are flattened into one segment space
         (slot = b * max_pillars + pillar) so the PFN's BatchNorm sees
         cross-batch point statistics like the reference's BN1d."""
         pillar_grid = (int(self.grid_size[0]), int(self.grid_size[1]), 1)
@@ -184,12 +186,12 @@ class PointPillarsModule(nn.Module):
                 p, m, vs, pr, pillar_grid, max_voxels=self.max_pillars,
                 return_point_voxel=True,
             )
-        )(example["points"], example["points_mask"])
+        )(points, points_mask)
 
-        b, p, c = example["points"].shape
+        b, p, c = points.shape
         v = self.max_pillars
-        flat_points = example["points"].reshape(b * p, c)
-        flat_mask = example["points_mask"].reshape(b * p)
+        flat_points = points.reshape(b * p, c)
+        flat_mask = points_mask.reshape(b * p)
         offsets = (jnp.arange(b) * v)[:, None]
         flat_seg = jnp.where(
             vox["point_voxel"] < v, vox["point_voxel"] + offsets, b * v
@@ -201,9 +203,14 @@ class PointPillarsModule(nn.Module):
         )  # (B*V, F)
         feats = feats.reshape(b, v, -1)
 
-        canvas = jax.vmap(
+        return jax.vmap(
             lambda f, co, m: pp_scatter(f, co, m, self.grid_size)
         )(feats, vox["coords"], vox["mask"])
+
+    def __call__(self, example, train: bool = True):
+        canvas = self.encode_canvas(
+            example["points"], example["points_mask"], train
+        )
         x = self.neck(canvas, train=train)
         return self.bbox_head(x, train=train)
 
