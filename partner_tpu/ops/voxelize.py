@@ -181,3 +181,48 @@ def dynamic_voxelize(points, points_mask, voxel_size, pc_range, grid_size,
     if return_point_voxel:
         out["point_voxel"] = seg.astype(jnp.int32)
     return out
+
+
+def points_to_bev(points, voxel_size, pc_range, with_reflectivity=False,
+                  max_voxels=40000):
+    """KITTI-style BEV map builder — vectorized port of the reference's
+    numba kernel (/root/reference/det3d/ops/point_cloud/bev_ops.py:8-117;
+    a SECOND-lineage utility with no in-tree callers, kept for API parity).
+
+    Returns (n_z + 1 [+1], H, W): per-height-slice normalized max height,
+    a last channel of per-cell point counts, and (optionally) a
+    reflectivity channel carrying the intensity of each cell's highest
+    point.
+    """
+    voxel_size = np.asarray(voxel_size, dtype=points.dtype)
+    pc_range = np.asarray(pc_range, dtype=points.dtype)
+    grid = np.round((pc_range[3:] - pc_range[:3]) / voxel_size).astype(np.int32)
+    nx, ny, nz = int(grid[0]), int(grid[1]), int(grid[2])
+
+    coords = np.floor((points[:, :3] - pc_range[:3]) / voxel_size).astype(np.int64)
+    ok = np.all((coords >= 0) & (coords < grid), axis=1)
+    pts, coords = points[ok], coords[ok]
+
+    shape = [nz + 1 + int(with_reflectivity), ny, nx]
+    bev = np.zeros(shape, dtype=points.dtype)
+
+    height_lowers = np.linspace(pc_range[2], pc_range[5], nz, endpoint=False)
+    hnorm = (pts[:, 2] - height_lowers[coords[:, 2]]) / voxel_size[2]
+
+    lin3 = (coords[:, 2] * ny + coords[:, 1]) * nx + coords[:, 0]
+    flat = np.zeros(nz * ny * nx, dtype=points.dtype)
+    np.maximum.at(flat, lin3, hnorm)
+    bev[:nz] = flat.reshape(nz, ny, nx)
+
+    lin2 = coords[:, 1] * nx + coords[:, 0]
+    bev[-1] = np.bincount(lin2, minlength=ny * nx).reshape(ny, nx
+                                                           ).astype(points.dtype)
+
+    if with_reflectivity and pts.shape[1] > 3:
+        # intensity of each cell's highest point: sort so the max-height
+        # point of every cell lands last, then scatter
+        order = np.lexsort((hnorm, lin3))
+        refl = np.zeros(nz * ny * nx, dtype=points.dtype)
+        refl[lin3[order]] = pts[order, 3]
+        bev[-2] = refl.reshape(nz, ny, nx).max(axis=0)
+    return bev

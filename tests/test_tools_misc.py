@@ -88,3 +88,35 @@ class TestInstanceIds:
         assert set(inst[:50]) == {1}
         assert set(inst[50:100]) == {2}
         assert set(inst[100:]) == {0}
+
+
+class TestSingleInference:
+    def test_file_transport_once(self, rng, tmp_path):
+        """single_inference --once consumes .bin/.npy frames and writes
+        .det.npz results (the ROS node's file stand-in)."""
+        import single_inference as si
+
+        from partner_tpu.train.config import Config
+
+        n = 2000
+        pts = np.stack([rng.uniform(-30, 30, n), rng.uniform(-30, 30, n),
+                        rng.uniform(-1.5, 2.5, n), rng.rand(n)],
+                       1).astype(np.float32)
+        pts.tofile(str(tmp_path / "f0.bin"))
+        np.save(str(tmp_path / "f1.npy"), pts)
+
+        cfg = Config.fromfile(
+            os.path.join(os.path.dirname(TOOLS), "configs/tests/"
+                         "tiny_synthetic.py"))
+        variables, predict, meta = si.build_predictor(cfg, max_points=8192)
+        det = si.run_frame(variables, predict, meta, pts,
+                           score_threshold=0.0)
+        assert det["box3d_lidar"].shape[-1] in (7, 9)
+        assert np.isfinite(det["scores"]).all()
+
+        class A:
+            watch_dir = str(tmp_path); once = True; poll = 0.01
+            checkpoint = None; score = 0.0; max_points = 8192
+        si._file_loop(A, cfg)
+        assert (tmp_path / "f0.det.npz").exists()
+        assert (tmp_path / "f1.det.npz").exists()

@@ -128,3 +128,34 @@ class TestDeviceVoxelizer:
         c = np.asarray(out["coords"])
         assert (c >= 0).all()
         assert (c[:, 0] < grid[2]).all() and (c[:, 2] < grid[0]).all()
+
+
+def test_points_to_bev_matches_bruteforce(rng):
+    """Vectorized BEV map builder vs a per-point oracle
+    (reference bev_ops.py:8-117)."""
+    from partner_tpu.ops.voxelize import points_to_bev
+
+    n = 2000
+    pts = np.concatenate(
+        [rng.uniform(0, 10, (n, 3)), rng.rand(n, 1)], 1
+    ).astype(np.float32)
+    vs = np.array([0.5, 0.5, 2.0], np.float32)
+    pr = np.array([0, 0, 0, 10, 10, 10], np.float32)
+    bev = points_to_bev(pts, vs, pr, with_reflectivity=True)
+    nz, ny, nx = 5, 20, 20
+    assert bev.shape == (nz + 2, ny, nx)
+
+    # oracle
+    want_h = np.zeros((nz, ny, nx), np.float32)
+    want_cnt = np.zeros((ny, nx), np.float32)
+    lowers = np.linspace(0, 10, nz, endpoint=False)
+    for p in pts:
+        cx, cy, cz = (int(np.floor(p[0] / 0.5)), int(np.floor(p[1] / 0.5)),
+                      int(np.floor(p[2] / 2.0)))
+        if not (0 <= cx < nx and 0 <= cy < ny and 0 <= cz < nz):
+            continue
+        hn = (p[2] - lowers[cz]) / 2.0
+        want_h[cz, cy, cx] = max(want_h[cz, cy, cx], hn)
+        want_cnt[cy, cx] += 1
+    np.testing.assert_allclose(bev[:nz], want_h, atol=1e-5)
+    np.testing.assert_allclose(bev[-1], want_cnt)
