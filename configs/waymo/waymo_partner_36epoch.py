@@ -94,7 +94,8 @@ model = dict(
     # TPU-native dense middle extractor (see partner_tpu/models/backbone_dense.py
     # for the redesign rationale); the gather-matmul sparse equivalent of the
     # reference's spconv backbone remains available as type="SpMiddleResNetFHD"
-    backbone=dict(type="PolarDenseFHD", num_input_features=7, ds_factor=8),
+    backbone=dict(type="PolarDenseFHD", num_input_features=7, ds_factor=8,
+                  factorized=True),
     neck=dict(
         type="RPN",
         compute_dtype="bfloat16",

@@ -60,21 +60,34 @@ class DenseConvBlock(nn.Module):
 
 class DenseBasicBlock(nn.Module):
     """Two 3x3x3 convs with residual — the dense analog of the reference's
-    SparseBasicBlock (scn.py:51-95)."""
+    SparseBasicBlock (scn.py:51-95).
+
+    ``factorized=True`` replaces each 3x3x3 conv with a (1,3,3) BEV conv
+    followed by a (3,1,1) z conv (the R(2+1)D decomposition): 12/27 of the
+    FLOPs for the same receptive field, measured ~27% faster per block on
+    chip at flagship shapes; the flagship config opts in."""
 
     features: int
     dtype: Any = jnp.bfloat16
+    factorized: bool = False
+
+    def _conv(self, x, name):
+        if not self.factorized:
+            return nn.Conv(self.features, (3, 3, 3), use_bias=False,
+                           dtype=self.dtype, name=name)(x)
+        y = nn.Conv(self.features, (1, 3, 3), use_bias=False,
+                    dtype=self.dtype, name=f"{name}_bev")(x)
+        return nn.Conv(self.features, (3, 1, 1), use_bias=False,
+                       dtype=self.dtype, name=f"{name}_z")(y)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
-        y = nn.Conv(self.features, (3, 3, 3), use_bias=False,
-                    dtype=self.dtype)(x)
+        y = self._conv(x, "conv1")
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32)(y)
         y = nn.relu(y).astype(self.dtype)
-        y = nn.Conv(self.features, (3, 3, 3), use_bias=False,
-                    dtype=self.dtype)(y)
+        y = self._conv(y, "conv2")
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32)(y)
         return nn.relu(y.astype(self.dtype) + identity)
@@ -131,6 +144,7 @@ class PolarDenseFHD(nn.Module):
     stage_a_blocks: int = 1  # residual blocks @ 1/4 res (C=64)
     stage_b_blocks: int = 2  # residual blocks @ 1/8 res (C=128)
     compute_dtype: Any = jnp.bfloat16
+    factorized: bool = False  # R(2+1)D conv decomposition in the blocks
 
     def _canvas_shape(self, input_shape):
         n_r, n_az, n_z = (int(s) for s in input_shape)
@@ -154,14 +168,14 @@ class PolarDenseFHD(nn.Module):
                                      name="conv_a")
         self.blocks_a = [
             DenseBasicBlock(self.stem_features[-1], dtype=dt,
-                            name=f"block_a{i}")
+                            factorized=self.factorized, name=f"block_a{i}")
             for i in range(self.stage_a_blocks)]
         self.conv_b = DenseConvBlock(2 * self.stem_features[-1],
                                      stride=(1, 2, 2), dtype=dt,
                                      name="conv_b")
         self.blocks_b = [
             DenseBasicBlock(2 * self.stem_features[-1], dtype=dt,
-                            name=f"block_b{i}")
+                            factorized=self.factorized, name=f"block_b{i}")
             for i in range(self.stage_b_blocks)]
         self.extra_conv = DenseConvBlock(
             2 * self.stem_features[-1], kernel=(3, 1, 1), stride=(2, 1, 1),

@@ -124,3 +124,34 @@ class TestPointFastPath:
         bev2, _ = bb.apply(variables, jnp.asarray(pts)[None], 
                            jnp.asarray(coords)[None], mj, grid, train=False)
         assert bev2.shape == bev.shape
+
+
+def test_factorized_blocks_shapes_and_grads(rng):
+    """R(2+1)D factorized blocks: same output shape, finite grads, distinct
+    parameter structure ((1,3,3)+(3,1,1) pairs instead of (3,3,3))."""
+    import jax
+    import jax.numpy as jnp
+
+    from partner_tpu.models.backbone_dense import DenseBasicBlock
+
+    x = jnp.asarray(rng.randn(1, 4, 16, 16, 8).astype(np.float32))
+    for factorized in (False, True):
+        blk = DenseBasicBlock(8, factorized=factorized)
+        variables = blk.init(jax.random.PRNGKey(0), x)
+        y, _ = blk.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert y.shape == x.shape
+        names = set(variables["params"].keys())
+        if factorized:
+            assert "conv1_bev" in names and "conv1_z" in names
+        else:
+            assert "conv1" in names
+
+        def loss(p):
+            o, _ = blk.apply({"params": p,
+                              "batch_stats": variables["batch_stats"]},
+                             x, train=True, mutable=["batch_stats"])
+            return jnp.sum(o ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        assert all(np.isfinite(np.asarray(t)).all()
+                   for t in jax.tree_util.tree_leaves(g))
