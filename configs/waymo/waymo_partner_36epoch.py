@@ -76,8 +76,14 @@ bbox_head = dict(
     HEAD_CONFIG={
         "kernel_size": 3,
         "sw_head_version": "votev4",
-        "window_size": 7,
+        # window_size 8 (reference: 7): 256x144 BEV tiles exactly into 8x8
+        # windows (no pad rows, no pad-mask branch) and T=64 aligns with the
+        # TPU's 8-lane VPU tiles; the footprint change is retrained-in
+        "window_size": 8,
         "sl_depth": [2],
+        # head compute in bf16 (params/logits f32): halves the head's HBM
+        # traffic on the 256x144x512 maps
+        "compute_dtype": "bfloat16",
         "code_size": 7,
         "encode_angle_by_sincos": True,
         "iou_loss": True,

@@ -270,6 +270,8 @@ def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
         "pc_range": pc_range,
         "out_size_factor": osf,
         "voxel_shape": bbox_head.get("voxel_shape", "cylinder"),
+        "compute_dtype": bbox_head["HEAD_CONFIG"].get("compute_dtype",
+                                                      "float32"),
     }
 
     module = VoxelNetModule(

@@ -39,18 +39,21 @@ class ConvHead(nn.Module):
     out: int
     kernel: int = 3
     init_bias: Optional[float] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         k = (self.kernel, self.kernel)
-        x = nn.Conv(self.hidden, k, padding=self.kernel // 2)(x)
+        x = nn.Conv(self.hidden, k, padding=self.kernel // 2,
+                    dtype=self.dtype)(x)
         x = nn.relu(x)
         bias_init = (
             nn.initializers.constant(self.init_bias)
             if self.init_bias is not None else nn.initializers.zeros
         )
         return nn.Conv(self.out, k, padding=self.kernel // 2,
-                       bias_init=bias_init)(x)
+                       bias_init=bias_init,
+                       dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class ConvBNHead(nn.Module):
@@ -58,19 +61,22 @@ class ConvBNHead(nn.Module):
     out: int
     kernel: int = 3
     init_bias: Optional[float] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=True)(x)
+        x = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=True,
+                    dtype=self.dtype)(x)
         x = BatchNorm(use_running_average=not train)(x)
-        x = nn.relu(x)
+        x = nn.relu(x).astype(self.dtype)
         k = (self.kernel, self.kernel)
         bias_init = (
             nn.initializers.constant(self.init_bias)
             if self.init_bias is not None else nn.initializers.zeros
         )
         return nn.Conv(self.out, k, padding=self.kernel // 2,
-                       bias_init=bias_init)(x)
+                       bias_init=bias_init,
+                       dtype=self.dtype)(x).astype(jnp.float32)
 
 
 @BBOX_HEADS.register_module(name="E2ESWVoteHead")
@@ -90,8 +96,10 @@ class E2ESWVoteHead(nn.Module):
     pc_range: Tuple[float, ...] = (0.3, -3.14368, -2.0, 75.18, 3.14368, 4.0)
     out_size_factor: int = 8
     voxel_shape: str = "cylinder"
+    compute_dtype: str = "float32"  # "bfloat16" halves the head's HBM traffic
 
     def setup(self):
+        dt = jnp.dtype(self.compute_dtype)
         n_r = self.grid_size[0] // self.out_size_factor
         n_az = self.grid_size[1] // self.out_size_factor
         voxel_size = (
@@ -110,23 +118,25 @@ class E2ESWVoteHead(nn.Module):
         )  # (n_az, n_r, 2)
 
         half = self.in_channels // 2
-        self.vote_head = ConvHead(64, 2, self.kernel_size, name="vote_head")
+        self.vote_head = ConvHead(64, 2, self.kernel_size, dtype=dt,
+                                  name="vote_head")
         self.vote_cls_head = ConvBNHead(
-            half, 1, self.kernel_size, name="vote_cls_head"
+            half, 1, self.kernel_size, dtype=dt, name="vote_cls_head"
         )
         self.layer = SwinVoteTransformer(
             embed_dim=half, depth=self.sl_depth, num_heads=self.num_heads,
             window_size=self.window_size, mlp_ratio=self.mlp_ratio,
-            name="layer",
+            compute_dtype=self.compute_dtype, name="layer",
         )
         self.cls_head = ConvBNHead(
             half, self.num_classes, self.kernel_size,
-            init_bias=self.init_bias, name="cls_head",
+            init_bias=self.init_bias, dtype=dt, name="cls_head",
         )
         code = 7 + (1 if self.encode_angle_by_sincos else 0)
-        self.bbox_head = ConvHead(64, code, self.kernel_size, name="bbox_head")
+        self.bbox_head = ConvHead(64, code, self.kernel_size, dtype=dt,
+                                  name="bbox_head")
         if self.iou_head:
-            self.iou_head_mod = ConvHead(64, 1, self.kernel_size,
+            self.iou_head_mod = ConvHead(64, 1, self.kernel_size, dtype=dt,
                                          name="iou_head")
 
     def get_proper_xy(self, xy_maps):

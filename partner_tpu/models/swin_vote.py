@@ -21,6 +21,8 @@ Feature maps are NHWC (B, H=azimuth, W=range, C); the position embedding is
 the cartesian cell-center grid (B, H, W, 2).
 """
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -30,23 +32,25 @@ import numpy as np
 class VoteMLP(nn.Module):
     features: int
     hidden: int = 16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, v):
-        v = nn.Dense(self.hidden)(v)
+        v = nn.Dense(self.hidden, dtype=self.dtype)(v)
         v = nn.relu(v)
-        return nn.Dense(self.features)(v)
+        return nn.Dense(self.features, dtype=self.dtype)(v)
 
 
 class RPEMLP(nn.Module):
     num_heads: int
     hidden: int = 16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, rel):
-        x = nn.Dense(self.hidden)(rel)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(rel)
         x = nn.relu(x)
-        return nn.Dense(self.num_heads)(x)
+        return nn.Dense(self.num_heads, dtype=self.dtype)(x)
 
 
 def window_partition(x, ws):
@@ -82,6 +86,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos, vote, mask=None, pad_mask=None,
@@ -91,28 +96,36 @@ class WindowAttention(nn.Module):
         nb, t, c = x.shape
         nh = self.num_heads
         hd = c // nh
+        x = x.astype(self.dtype)
 
-        ve = VoteMLP(c, name="vote_mlp")(vote)  # (nB, T, C)
+        ve = VoteMLP(c, dtype=self.dtype, name="vote_mlp")(
+            vote.astype(self.dtype))  # (nB, T, C)
         ve = ve.reshape(nb, t, nh, hd).transpose(0, 2, 1, 3)
 
-        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(nb, t, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] + ve, qkv[1] + ve, qkv[2] + ve  # (nB, nh, T, hd)
 
         # eps INSIDE the sqrt: the plain L2 norm has a NaN gradient at
         # exactly-zero vectors (padded cells at init), and clamping the
         # product downstream does not fix the norm's own VJP
-        qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
-        kn = jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) / (
+        # cosine-attention logits accumulate in f32 regardless of the
+        # compute dtype (bf16 dot with f32 accumulation on the MXU)
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-12)
+        kn = jnp.sqrt(jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-12)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) / (
             qn * kn.transpose(0, 1, 3, 2)
         )
         tau = self.param("tau", nn.initializers.ones, (1, nh, 1, 1))
         attn = attn / jnp.clip(tau, min=0.01)
 
         rel = pos[:, :, None, :] - pos[:, None, :, :]  # (nB, T, T, 2)
-        rpe = RPEMLP(nh, name="rpe")(rel)  # (nB, T, T, nh)
-        attn = attn + rpe.transpose(0, 3, 1, 2)
+        rpe = RPEMLP(nh, dtype=self.dtype, name="rpe")(
+            rel.astype(self.dtype))  # (nB, T, T, nh)
+        attn = attn + rpe.transpose(0, 3, 1, 2).astype(jnp.float32)
 
         if mask is not None:
             nw = mask.shape[0]
@@ -121,11 +134,13 @@ class WindowAttention(nn.Module):
         if pad_mask is not None:
             attn = jnp.where(pad_mask[:, None, None, :], attn, -100.0)
 
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32
+                         ).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(nb, t, c)
-        out = nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
 
 
@@ -137,6 +152,7 @@ class SwinVoteBlock(nn.Module):
     mlp_ratio: float = 1.0
     drop: float = 0.0
     attn_drop: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos, vote, deterministic=True):
@@ -170,7 +186,8 @@ class SwinVoteBlock(nn.Module):
 
         mask = swin_attn_mask(hp, wp, ws, shift)
         out = WindowAttention(
-            self.dim, self.num_heads, self.attn_drop, self.drop, name="attn"
+            self.dim, self.num_heads, self.attn_drop, self.drop,
+            dtype=self.dtype, name="attn"
         )(xw, pw, vw, mask, mw, deterministic)
 
         out = window_reverse(out, ws, b, hp, wp)
@@ -178,14 +195,15 @@ class SwinVoteBlock(nn.Module):
             out = jnp.roll(out, (shift, shift), axis=(1, 2))
         out = out[:, :h, :w]
 
-        x = shortcut + out
+        x = shortcut + out.astype(jnp.float32)
         y = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(y.astype(self.dtype))
         y = nn.gelu(y)
         y = nn.Dropout(self.drop, deterministic=deterministic)(y)
-        y = nn.Dense(c, name="mlp_fc2")(y)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         y = nn.Dropout(self.drop, deterministic=deterministic)(y)
-        return x + y
+        return x + y.astype(jnp.float32)
 
 
 class SwinVoteTransformer(nn.Module):
@@ -198,17 +216,19 @@ class SwinVoteTransformer(nn.Module):
     mlp_ratio: float = 1.0
     drop: float = 0.0
     attn_drop: float = 0.0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, pos, vote, deterministic=True):
         # x (B, H, W, in_ch); pos (B, H, W, 2); vote (B, H, W, 3)
-        x = nn.Conv(self.embed_dim, (1, 1), name="patch_embed")(x)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        dt = jnp.dtype(self.compute_dtype)
+        x = nn.Conv(self.embed_dim, (1, 1), dtype=dt, name="patch_embed")(x)
+        x = nn.LayerNorm(name="patch_norm")(x.astype(jnp.float32))
         for i in range(self.depth):
             x = SwinVoteBlock(
                 self.embed_dim, self.num_heads, self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, drop=self.drop,
-                attn_drop=self.attn_drop, name=f"block{i}",
+                attn_drop=self.attn_drop, dtype=dt, name=f"block{i}",
             )(x, pos, vote, deterministic)
         return nn.LayerNorm(name="norm_out")(x)

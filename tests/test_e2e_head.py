@@ -152,3 +152,38 @@ class TestZeroInputGradients:
         assert all(bool(jnp.isfinite(l).all()) for l in leaves)
         gx = jax.grad(loss, argnums=1)(v["params"], x)
         assert bool(jnp.isfinite(gx).all())
+
+
+class TestBF16Head:
+    def test_bf16_head_forward_and_grads(self, rng):
+        """compute_dtype='bfloat16': f32 outputs, finite grads, outputs
+        close to the f32 path at init."""
+        import jax
+        import jax.numpy as jnp
+
+        head32 = make_head()
+        head16 = E2ESWVoteHead(
+            in_channels=32, num_classes=1, grid_size=GRID, pc_range=PR,
+            out_size_factor=8, window_size=4, sl_depth=2, num_heads=2,
+            compute_dtype="bfloat16",
+        )
+        x = jnp.asarray(rng.randn(1, 16, 8, 32).astype(np.float32))
+        v32 = head32.init(jax.random.PRNGKey(0), x)
+        out16, _ = head16.apply(v32, x, train=True, mutable=["batch_stats"])
+        out32, _ = head32.apply(v32, x, train=True, mutable=["batch_stats"])
+        for k in out16:
+            assert out16[k].dtype == jnp.float32, k
+            d = np.abs(np.asarray(out16[k] - out32[k]))
+            scale = np.abs(np.asarray(out32[k])).max() + 1e-3
+            assert d.max() / scale < 0.1, (k, d.max(), scale)
+
+        def loss(p):
+            o, _ = head16.apply({"params": p,
+                                 "batch_stats": v32["batch_stats"]},
+                                x, train=True, mutable=["batch_stats"])
+            return sum(jnp.sum(v.astype(jnp.float32) ** 2)
+                       for v in o.values())
+
+        g = jax.grad(loss)(v32["params"])
+        assert all(np.isfinite(np.asarray(t)).all()
+                   for t in jax.tree_util.tree_leaves(g))
