@@ -40,19 +40,33 @@ from .registry import BACKBONES
 
 
 class DenseConvBlock(nn.Module):
-    """3D conv + BN + ReLU."""
+    """3D conv + BN + ReLU.
+
+    ``factorized=True`` (only meaningful for 3x3x3 kernels) applies the same
+    R(2+1)D split as DenseBasicBlock: a (1,3,3) BEV conv carrying the
+    spatial stride, then a (3,1,1) z conv carrying the z stride."""
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (1, 1, 1)
     padding: Any = "SAME"
     dtype: Any = jnp.bfloat16
+    factorized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.features, self.kernel, strides=self.stride,
-                    padding=self.padding, use_bias=False,
-                    dtype=self.dtype)(x)
+        if self.factorized and tuple(self.kernel) == (3, 3, 3):
+            sz, sy, sx = self.stride
+            x = nn.Conv(self.features, (1, 3, 3), strides=(1, sy, sx),
+                        padding=self.padding, use_bias=False,
+                        dtype=self.dtype, name="conv_bev")(x)
+            x = nn.Conv(self.features, (3, 1, 1), strides=(sz, 1, 1),
+                        padding=self.padding, use_bias=False,
+                        dtype=self.dtype, name="conv_z")(x)
+        else:
+            x = nn.Conv(self.features, self.kernel, strides=self.stride,
+                        padding=self.padding, use_bias=False,
+                        dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32)(x)
         return nn.relu(x).astype(self.dtype)
@@ -165,6 +179,7 @@ class PolarDenseFHD(nn.Module):
                          name=f"stem_bn{i}")
             for i in range(len(self.stem_features))]
         self.conv_a = DenseConvBlock(self.stem_features[-1], dtype=dt,
+                                     factorized=self.factorized,
                                      name="conv_a")
         self.blocks_a = [
             DenseBasicBlock(self.stem_features[-1], dtype=dt,
@@ -172,6 +187,7 @@ class PolarDenseFHD(nn.Module):
             for i in range(self.stage_a_blocks)]
         self.conv_b = DenseConvBlock(2 * self.stem_features[-1],
                                      stride=(1, 2, 2), dtype=dt,
+                                     factorized=self.factorized,
                                      name="conv_b")
         self.blocks_b = [
             DenseBasicBlock(2 * self.stem_features[-1], dtype=dt,
