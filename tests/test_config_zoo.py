@@ -186,3 +186,40 @@ class TestMoreConfigs:
         assert np.isfinite(float(ld["loss"]))
         out = det.predict(variables, ex)
         assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+
+
+class TestDCNConfig:
+    def test_nusc_dcn_builds_and_steps(self, rng):
+        """nusc CenterPoint-DCN config: 6 task groups through DCNSepHead
+        (reference nusc_centerpoint_voxelnet_0075voxel_dcn.py analog)."""
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(
+            CFG_DIR, "nusc/voxelnet/nusc_centerpoint_voxelnet_dcn.py"))
+        vs = list(cfg.voxel_generator["voxel_size"])
+        vs[0] *= 8
+        vs[1] *= 8
+        for vg in (cfg.voxel_generator,
+                   cfg.bbox_head["voxel_generator"],
+                   cfg.model["bbox_head"]["voxel_generator"]):
+            vg["voxel_size"] = list(vs)
+
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        boxes, pts, mask = _scene(rng, cfg.voxel_generator["range"])
+        feats7 = jnp.concatenate(
+            [pts[..., :5], pts[..., 3:4] * 0, pts[..., 3:4] * 0], -1)
+        ex = _voxelize_example(cfg, feats7, mask)
+        ex.update(_targets(cfg, boxes))
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex)
+        # DCN offset convs are zero-initialized (FeatureAdaption.init_offset)
+        p = variables["params"]["bbox_head"]["task0"]
+        np.testing.assert_allclose(np.asarray(
+            p["feature_adapt_cls"]["conv_offset"]["kernel"]), 0.0)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
