@@ -132,3 +132,147 @@ class CenterCoderV2(CenterCoder):
         return jnp.concatenate(
             [jnp.stack([xt, yt, zt], axis=-1), dims_t, ang, extra], axis=-1
         )
+
+
+class CenterCoderPolar(CenterCoder):
+    """Polar-space box encoding
+    (/root/reference/det3d/models/e2e_utils/box_coder_utils.py:498-720).
+
+    A gt box [x, y, z, dx, dy, dz, yaw] encodes as
+      [rho, phi, z, log(radius), log(dz), ratio, cos rel_yaw, sin rel_yaw]
+    with rho/phi the polar center, radius = sqrt(dx^2+dy^2)/2 (half the BEV
+    diagonal), ratio = dy/dx the aspect, and (under ``rectify``) the yaw
+    re-expressed relative to the center azimuth phi wrapped to (-pi, pi].
+    ``decode`` inverts radius/ratio back to (dx, dy).
+    """
+
+    def encode(self, gt_boxes):
+        g = self._prep(gt_boxes)
+        x, y, z = g[..., 0], g[..., 1], g[..., 2]
+        dx, dy, dz = g[..., 3], g[..., 4], g[..., 5]
+        rho = jnp.sqrt(x ** 2 + y ** 2)
+        phi = jnp.arctan2(y, x)
+        radius = jnp.sqrt(dx ** 2 + dy ** 2) * 0.5
+        ratio = dy / dx
+        yaw = g[..., 6]
+        if self.rectify:
+            yaw = wrap_angle_pi(yaw - phi)
+        extra = g[..., 7:]
+        if self.encode_angle_by_sincos:
+            ang = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)
+        else:
+            ang = yaw[..., None]
+        return jnp.concatenate(
+            [jnp.stack([rho, phi, z, jnp.log(radius), jnp.log(dz), ratio],
+                       axis=-1), ang, extra], axis=-1)
+
+    def decode(self, preds):
+        rho, phi, z = preds[..., 0], preds[..., 1], preds[..., 2]
+        radius = jnp.exp(jnp.clip(preds[..., 3], -8.0, 8.0))
+        dz = jnp.exp(jnp.clip(preds[..., 4], -8.0, 8.0))
+        ratio = preds[..., 5]
+        dx = 2.0 * radius / jnp.sqrt(1.0 + ratio ** 2)
+        dy = ratio * dx
+        if self.encode_angle_by_sincos:
+            yaw = jnp.arctan2(preds[..., 7], preds[..., 6])
+            extra = preds[..., 8:]
+        else:
+            yaw = preds[..., 6] * self.period
+            extra = preds[..., 7:]
+        if self.rectify:
+            yaw = wrap_angle_pi(yaw + phi)
+        x = rho * jnp.cos(phi)
+        y = rho * jnp.sin(phi)
+        return jnp.concatenate(
+            [jnp.stack([x, y, z, dx, dy, dz, yaw], axis=-1), extra], axis=-1)
+
+    decode_torch = decode
+
+
+class CenterCoderTP(CenterCoder):
+    """Template-box dim encoding
+    (/root/reference/det3d/models/e2e_utils/box_coder_utils.py:1189-1399):
+    dims encode as offsets from a fixed per-class template box [tx, ty, tz]
+    instead of logs; everything else matches CenterCoder. The remaining
+    reference variants (CenterCoderPolarSIG :957, CenterCoderMTTP :1402)
+    are unreachable dead code in the release and combine these same two
+    axes (polar centers x template dims) with sigmoid/multi-template dims.
+    """
+
+    def __init__(self, templates_box=(4.0, 2.0, 1.6), **kwargs):
+        super().__init__(**kwargs)
+        self.templates_box = jnp.asarray(templates_box, jnp.float32)
+
+    def encode(self, gt_boxes):
+        g = self._prep(gt_boxes)
+        x, y, z = g[..., 0], g[..., 1], g[..., 2]
+        dims = g[..., 3:6] - self.templates_box
+        yaw = self._rectified_yaw(x, y, g[..., 6])
+        extra = g[..., 7:]
+        if self.encode_angle_by_sincos:
+            ang = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)
+        else:
+            ang = yaw[..., None]
+        return jnp.concatenate(
+            [jnp.stack([x, y, z], axis=-1), dims, ang, extra], axis=-1)
+
+    def decode(self, preds):
+        xyz = preds[..., :3]
+        dims = jnp.clip(preds[..., 3:6] + self.templates_box, min=1e-5)
+        if self.encode_angle_by_sincos:
+            yaw = jnp.arctan2(preds[..., 7], preds[..., 6])
+            extra = preds[..., 8:]
+        else:
+            yaw = preds[..., 6] * self.period
+            extra = preds[..., 7:]
+        if self.rectify:
+            raise NotImplementedError("rectified decode handled in head decode")
+        return jnp.concatenate([xyz, dims, yaw[..., None], extra], axis=-1)
+
+    decode_torch = decode
+
+
+class CenterCoderPolarTP(CenterCoderPolar):
+    """Polar centers + template dims (box_coder_utils.py:726-954): rho/phi/z
+    centers like CenterCoderPolar, but (dx, dy, dz) encode as offsets from
+    the template box rather than radius/ratio logs."""
+
+    def __init__(self, templates_box=(4.0, 2.0, 1.6), **kwargs):
+        super().__init__(**kwargs)
+        self.templates_box = jnp.asarray(templates_box, jnp.float32)
+
+    def encode(self, gt_boxes):
+        g = self._prep(gt_boxes)
+        x, y, z = g[..., 0], g[..., 1], g[..., 2]
+        rho = jnp.sqrt(x ** 2 + y ** 2)
+        phi = jnp.arctan2(y, x)
+        dims = g[..., 3:6] - self.templates_box
+        yaw = g[..., 6]
+        if self.rectify:
+            yaw = wrap_angle_pi(yaw - phi)
+        extra = g[..., 7:]
+        if self.encode_angle_by_sincos:
+            ang = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)
+        else:
+            ang = yaw[..., None]
+        return jnp.concatenate(
+            [jnp.stack([rho, phi, z], axis=-1), dims, ang, extra], axis=-1)
+
+    def decode(self, preds):
+        rho, phi, z = preds[..., 0], preds[..., 1], preds[..., 2]
+        dims = jnp.clip(preds[..., 3:6] + self.templates_box, min=1e-5)
+        if self.encode_angle_by_sincos:
+            yaw = jnp.arctan2(preds[..., 7], preds[..., 6])
+            extra = preds[..., 8:]
+        else:
+            yaw = preds[..., 6] * self.period
+            extra = preds[..., 7:]
+        if self.rectify:
+            yaw = wrap_angle_pi(yaw + phi)
+        x = rho * jnp.cos(phi)
+        y = rho * jnp.sin(phi)
+        return jnp.concatenate(
+            [jnp.stack([x, y, z], axis=-1), dims, yaw[..., None], extra],
+            axis=-1)
+
+    decode_torch = decode

@@ -170,3 +170,38 @@ def test_set_criterion_iou_reg(rng):
     lb = crit(preds_bad, gt_boxes, gt_classes, gt_mask)
     assert np.isfinite(float(lg["loss"])) and np.isfinite(float(lb["loss"]))
     assert float(lg["loss_iou_reg"]) < float(lb["loss_iou_reg"])
+
+
+def test_center_coder_polar_roundtrip(rng):
+    """decode(encode(b)) == b for the polar coder, both rectify modes
+    (box_coder_utils.py:498-720)."""
+    from partner_tpu.core.center_coder import CenterCoderPolar
+
+    b = _boxes(rng, 12)
+    # dx > 0 guaranteed by _boxes; keep yaw away from the wrap boundary
+    for rectify in (False, True):
+        coder = CenterCoderPolar(rectify=rectify)
+        dec = coder.decode(coder.encode(b))
+        np.testing.assert_allclose(np.asarray(dec[:, :6]),
+                                   np.asarray(b[:, :6]), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(jnp.cos(dec[:, 6] - b[:, 6])), 1.0, atol=1e-4)
+
+
+def test_template_coders_roundtrip(rng):
+    """TP/PolarTP coders: decode(encode(b)) == b (box_coder_utils.py:
+    726-954, 1189-1399)."""
+    from partner_tpu.core.center_coder import (CenterCoderPolarTP,
+                                               CenterCoderTP)
+
+    b = _boxes(rng, 10)
+    for cls in (CenterCoderTP, CenterCoderPolarTP):
+        for rectify in ((False,) if cls is CenterCoderTP else (False, True)):
+            coder = cls(rectify=rectify)
+            dec = coder.decode(coder.encode(b))
+            np.testing.assert_allclose(np.asarray(dec[:, :6]),
+                                       np.asarray(b[:, :6]), rtol=1e-4,
+                                       atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(jnp.cos(dec[:, 6] - b[:, 6])), 1.0, atol=1e-4)
