@@ -22,26 +22,26 @@ def _to_host(tree):
 
 
 def save_checkpoint(work_dir, state, meta=None, keep=None):
+    """work_dir may be a local path or a scheme-prefixed remote path
+    (utils/remote_io.py — the OSS remote-storage parity layer)."""
+    from ..utils import remote_io as rio
+
     step = int(state.step)
-    path = os.path.join(work_dir, f"ckpt_{step:08d}")
-    os.makedirs(path, exist_ok=True)
+    path = _join(work_dir, f"ckpt_{step:08d}")
+    rio.makedirs(path)
     payload = {
         "step": step,
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
         "opt_state": _to_host(state.opt_state),
     }
-    with open(os.path.join(path, "state.pkl"), "wb") as f:
-        pickle.dump(payload, f)
+    rio.write_bytes(_join(path, "state.pkl"), pickle.dumps(payload))
     if meta:
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
-    latest = os.path.join(work_dir, "latest")
-    tmp = latest + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(os.path.basename(path))
-    os.replace(tmp, latest)
-    if keep:
+        rio.write_bytes(_join(path, "meta.json"),
+                        json.dumps(meta).encode())
+    rio.write_bytes(_join(work_dir, "latest"),
+                    f"ckpt_{step:08d}".encode())
+    if keep and "://" not in work_dir:
         ckpts = sorted(
             d for d in os.listdir(work_dir) if d.startswith("ckpt_")
         )
@@ -52,24 +52,29 @@ def save_checkpoint(work_dir, state, meta=None, keep=None):
     return path
 
 
+def _join(base, *parts):
+    return "/".join([base.rstrip("/")] + list(parts))
+
+
 def latest_checkpoint(work_dir):
-    latest = os.path.join(work_dir, "latest")
-    if not os.path.exists(latest):
+    from ..utils import remote_io as rio
+
+    latest = _join(work_dir, "latest")
+    if not rio.exists(latest):
         return None
-    with open(latest) as f:
-        name = f.read().strip()
-    path = os.path.join(work_dir, name)
-    return path if os.path.isdir(path) else None
+    name = rio.read_bytes(latest).decode().strip()
+    path = _join(work_dir, name)
+    return path if rio.exists(_join(path, "state.pkl")) else None
 
 
 def load_checkpoint(path):
-    with open(os.path.join(path, "state.pkl"), "rb") as f:
-        payload = pickle.load(f)
-    meta_path = os.path.join(path, "meta.json")
+    from ..utils import remote_io as rio
+
+    payload = pickle.loads(rio.read_bytes(_join(path, "state.pkl")))
+    meta_path = _join(path, "meta.json")
     meta = None
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    if rio.exists(meta_path):
+        meta = json.loads(rio.read_bytes(meta_path).decode())
     return payload, meta
 
 
