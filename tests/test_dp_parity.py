@@ -1,0 +1,156 @@
+"""Data-parallel sharding parity: one train step on a dp=2 mesh produces
+the same loss and parameter update as the unsharded step.
+
+This is the numerical guarantee behind the reference's DDP gradient
+all-reduce (torchie/apis/train.py:330-336) in its XLA form: batch sharded
+over the 'data' mesh axis, gradient psum inserted by the compiler from the
+shardings alone (SURVEY §2.6).
+
+Two tiers:
+  * CenterPoint path (PolarStream pillars + CenterHeadSingle): fully
+    deterministic math -> tight tolerance.
+  * PARTNER E2E path: the Hungarian/auction matching of an UNTRAINED model
+    is full of near-ties, so reduction-order noise across shards can flip
+    assignments; parity is asserted in eval mode (deterministic) and the
+    train step only has to be finite with the same match count.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from partner_tpu import testing
+from partner_tpu.models import build_detector
+from partner_tpu.parallel.mesh import batch_sharding, make_mesh
+from partner_tpu.train.optim import build_one_cycle_optimizer
+from partner_tpu.train.train_state import create_train_state, make_train_step
+
+
+def _dp2_setup(variables, example, tx):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(2, 1, 1, devices=jax.devices("cpu"))
+    bsh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    state = create_train_state(variables, tx)
+    state = state.replace(
+        params=jax.device_put(state.params, rep),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+            state.opt_state),
+        step=jax.device_put(state.step, rep),
+    )
+    ex = {k: (jax.device_put(v, bsh) if hasattr(v, "shape") and v.shape
+              and v.shape[0] == 2 else v)
+          for k, v in example.items()}
+    return mesh, state, ex
+
+
+@pytest.mark.slow
+def test_centerpoint_dp2_step_matches_single_device(rng):
+    """Deterministic pipeline: sharded step == single step, tight rtol."""
+    from partner_tpu.data.pipeline import AssignLabel
+    from tests.test_polarstream import GRID, TINY_PR, _pillar_cfg, _points
+
+    det = build_detector(_pillar_cfg(1), test_cfg={})
+    boxes, pts, mask = _points(rng, b=2)
+    example = {"points": pts, "points_mask": mask}
+    vs = [(TINY_PR[3] - TINY_PR[0]) / GRID[0],
+          (TINY_PR[4] - TINY_PR[1]) / GRID[1],
+          TINY_PR[5] - TINY_PR[2]]
+    al = AssignLabel(cfg=dict(
+        target_assigner=dict(tasks=[dict(num_class=1, class_names=["car"])]),
+        out_size_factor=2, max_objs=16, voxel_shape="cylinder", nsectors=1,
+    ), with_votemap=False, with_global_box=False)
+    res = {"mode": "train",
+           "lidar": {"voxels": dict(shape=(GRID[0], GRID[1], 1),
+                                    range=np.asarray(TINY_PR),
+                                    size=np.asarray(vs)),
+                     "annotations": {
+                         "gt_boxes": boxes,
+                         "gt_classes": np.ones(len(boxes), np.int64)}}}
+    res, _ = al(res, {})
+    t = res["lidar"]["targets"]
+    for k in ("hm", "anno_box", "ind", "mask", "cat"):
+        arr = jnp.asarray(t[k][0])[None]
+        example[k] = [jnp.concatenate([arr, arr], axis=0)]
+
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), example)
+    tx = build_one_cycle_optimizer(lr_max=1e-3, total_steps=10)
+    step = make_train_step(det, tx)
+    key = jax.random.PRNGKey(1)
+
+    def loss_and_grads(variables, example, rng):
+        def lf(params):
+            ld, _ = det.loss(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                example, rng=rng, train=True)
+            return ld["loss"]
+
+        return jax.value_and_grad(lf)(variables["params"])
+
+    l0, g0 = jax.jit(loss_and_grads)(variables, example, key)
+
+    s0 = create_train_state(variables, tx)
+    s0, m0 = jax.jit(step)(s0, example, key)
+
+    mesh, s1, ex1 = _dp2_setup(variables, example, tx)
+    v1 = {"params": s1.params, "batch_stats": s1.batch_stats}
+    with jax.sharding.set_mesh(mesh):
+        l1, g1 = jax.jit(loss_and_grads)(v1, ex1, key)
+        s1, m1 = jax.jit(step)(s1, ex1, key)
+
+    assert np.isfinite(float(m0["loss"]))
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-3)
+
+    # gradient parity: the XLA grad psum must reproduce the single-device
+    # gradient to reduction-order noise. (Post-Adam params are NOT a valid
+    # parity metric at step 0: the update is ~lr*sign(g), and any grad
+    # element near zero flips sign freely between reduction orders.)
+    f0 = jnp.concatenate(
+        [jnp.ravel(x) for x in jax.tree_util.tree_leaves(g0)])
+    f1 = jnp.concatenate(
+        [jnp.ravel(x) for x in jax.tree_util.tree_leaves(g1)])
+    rel = float(jnp.linalg.norm(f0 - f1) / (jnp.linalg.norm(f0) + 1e-12))
+    assert rel < 1e-3, f"sharded vs single grad divergence {rel}"
+
+    # params after one step: equal up to the 2*lr0 sign-flip band
+    lr0 = 1e-3 / 10.0  # lr_max / div_factor at step 0
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2.5 * lr0)
+
+
+@pytest.mark.slow
+def test_partner_dp2_eval_parity_and_train_step(rng):
+    """PARTNER E2E path: eval-mode loss parity (deterministic; no dropout,
+    no grads), and a finite sharded train step with equal match counts."""
+    det = build_detector(testing.tiny_model_cfg())
+    example = testing.make_example(rng, b=2, n_points=600, cap=1024)
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), example)
+    tx = build_one_cycle_optimizer(lr_max=1e-3, total_steps=10)
+    key = jax.random.PRNGKey(1)
+
+    def loss_eval(variables, example, rng):
+        ld, _ = det.loss(variables, example, rng=rng, train=False)
+        return ld["loss"], ld["num_matched"]
+
+    l0, n0 = jax.jit(loss_eval)(variables, example, key)
+
+    mesh, s1, ex1 = _dp2_setup(variables, example, tx)
+    v1 = {"params": s1.params, "batch_stats": s1.batch_stats}
+    with jax.sharding.set_mesh(mesh):
+        l1, n1 = jax.jit(loss_eval)(v1, ex1, key)
+        step = make_train_step(det, tx)
+        s1, m1 = jax.jit(step)(s1, ex1, key)
+
+    assert int(n0) == int(n1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=5e-3)
+    assert np.isfinite(float(m1["loss"]))
+    assert int(m1["num_matched"]) == int(n0)
