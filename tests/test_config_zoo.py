@@ -156,6 +156,7 @@ class TestMoreConfigs:
     @pytest.mark.parametrize("rel", [
         "nusc/pp/polarstream_det_n_seg_1_sector.py",
         "nusc/pp/polarstream_det_n_seg_4_sector_bidirectional.py",
+        "nusc/pp/polarstream_det_n_seg_4_sector_trailing_edge.py",
         "waymo/waymo_centerpoint_voxelnet_36epoch.py",
     ])
     def test_builds_and_steps(self, rng, rel):
@@ -182,6 +183,51 @@ class TestMoreConfigs:
                 ex["points_label"] = jnp.asarray(rng.randint(
                     0, 17, np.asarray(mask).shape).astype(np.int32))
         variables = det.init(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+
+
+class TestScheduleVariants:
+    """Schedule/two-sweep ports of the reference waymo voxelnet family
+    (reference configs/waymo/voxelnet/waymo_centerpoint_voxelnet_{1x,
+    3epoch,6epoch,two_sweeps_3x_with_velo}.py)."""
+
+    @pytest.mark.parametrize("rel,epochs", [
+        ("waymo/waymo_centerpoint_voxelnet_1x.py", 12),
+        ("waymo/waymo_centerpoint_voxelnet_3epoch.py", 3),
+        ("waymo/waymo_centerpoint_voxelnet_6epoch.py", 6),
+    ])
+    def test_schedule_variant_builds(self, rel, epochs):
+        from partner_tpu.models import build_detector
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(CFG_DIR, rel))
+        assert cfg.total_epochs == epochs
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        assert det is not None
+
+    def test_two_sweeps_with_velo_steps(self, rng):
+        """8-feature two-sweep input + vel head branch: one loss +
+        predict step."""
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+
+        loader = TestConfigZoo()
+        cfg = loader._load(
+            "waymo/waymo_centerpoint_voxelnet_two_sweeps_3x_with_velo.py")
+        assert "vel" in dict(cfg.model["bbox_head"]["common_heads"])
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        boxes, pts, mask = _scene(rng, cfg.voxel_generator["range"])
+        # [rho, phi, z, x, y, intensity, elongation, time_lag]
+        feats8 = jnp.concatenate(
+            [pts[..., :5]] + [pts[..., 3:4] * 0] * 3, -1)
+        ex = _voxelize_example(cfg, feats8, mask)
+        ex.update(_targets(cfg, boxes))
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex)
         ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
         assert np.isfinite(float(ld["loss"]))
         out = det.predict(variables, ex)
