@@ -40,7 +40,13 @@ def _grid_spec(cfg):
 
 
 class VoxelNetModule(nn.Module):
-    """Backbone + (optional SetBlock stack) + neck + head, NHWC."""
+    """Backbone + (optional SetBlock stack) + neck + head(s), NHWC.
+
+    ``head_cfg`` may be None for segmentation-only models (the reference's
+    voxelnet_seg_* configs build VoxelNet with bbox_head=None,
+    /root/reference/configs/nusc/voxelnet/voxelnet_seg_10sweep.py:30-60);
+    ``seg_head_cfg`` adds a semantic head fed by the backbone's dense
+    canvas (dense backbone) or the BEV map (sparse backbone)."""
 
     reader_cfg: Any
     backbone_cfg: Any
@@ -48,6 +54,7 @@ class VoxelNetModule(nn.Module):
     head_cfg: Any
     grid_size: Tuple[int, int, int]
     pc_range: Tuple[float, ...]
+    seg_head_cfg: Any = None
     out_size_factor: int = 8
     with_set_attention: bool = False
     set_cfg: Optional[Dict[str, Any]] = None
@@ -60,11 +67,22 @@ class VoxelNetModule(nn.Module):
         self.reader = build_from_cfg(dict(self.reader_cfg), READERS)
         self.backbone = build_from_cfg(dict(self.backbone_cfg), BACKBONES)
         self.neck = build_from_cfg(dict(self.neck_cfg), NECKS)
-        head_cfg = dict(self.head_cfg)
-        head_cfg.setdefault("grid_size", self.grid_size)
-        head_cfg.setdefault("pc_range", self.pc_range)
-        head_cfg.setdefault("out_size_factor", self.out_size_factor)
-        self.bbox_head = build_from_cfg(head_cfg, BBOX_HEADS)
+        if self.head_cfg is not None:
+            head_cfg = dict(self.head_cfg)
+            head_cfg.setdefault("grid_size", self.grid_size)
+            head_cfg.setdefault("pc_range", self.pc_range)
+            head_cfg.setdefault("out_size_factor", self.out_size_factor)
+            self.bbox_head = build_from_cfg(head_cfg, BBOX_HEADS)
+        else:
+            self.bbox_head = None
+        if self.seg_head_cfg:
+            from .registry import SEG_HEADS
+            sc = {k: v for k, v in dict(self.seg_head_cfg).items()
+                  if k in ("type", "num_classes", "kernel", "in_channels",
+                           "up_scale", "height", "weight")}
+            self.seg_head = build_from_cfg(sc, SEG_HEADS)
+        else:
+            self.seg_head = None
 
         if self.with_set_attention:
             voxel_size = tuple(
@@ -96,7 +114,7 @@ class VoxelNetModule(nn.Module):
                 and hasattr(self.backbone, "encode_points")):
             # point fast path: skip voxelization entirely — the dense
             # backbone decorates and pools raw points itself
-            bev, _ = self.backbone.encode_points(
+            bev, multi_scale = self.backbone.encode_points(
                 example["points"], example["points_mask"], self.grid_size,
                 self.pc_range, train=train,
             )
@@ -106,7 +124,7 @@ class VoxelNetModule(nn.Module):
                                        example["num_points"])
             else:  # dynamic path: mean features precomputed on device
                 features = self.reader(example["features"])
-            bev, _ = self.backbone(
+            bev, multi_scale = self.backbone(
                 features, example["coords"], example["voxel_mask"],
                 self.grid_size, train=train,
             )  # (B, n_az/8, n_r/8, C)
@@ -121,7 +139,18 @@ class VoxelNetModule(nn.Module):
             bev = jax.lax.with_sharding_constraint(bev, self.bev_pspec)
 
         x = self.neck(bev, train=train)
-        out = self.bbox_head(x, train=train)
+        out = self.bbox_head(x, train=train) if self.bbox_head else {}
+        if self.seg_head is not None:
+            # dense backbone exposes its pooled 3D canvas; the sparse
+            # backbone path falls back to the BEV map (4D canvas)
+            canvas = None
+            if isinstance(multi_scale, dict):
+                canvas = multi_scale.get("canvas")
+            if canvas is None or not hasattr(canvas, "ndim"):
+                canvas = bev
+            out = dict(out)
+            out["seg_preds"] = self.seg_head(canvas, x, train=train)[
+                "seg_preds"]
         if return_bev:
             return out, x
         return out
@@ -203,22 +232,57 @@ class E2EDetector(Detector):
 
 
 class CenterPointDetector(Detector):
-    """VoxelNet + CenterHead family (FastFocal + peak regression)."""
+    """VoxelNet + CenterHead family (FastFocal + peak regression), with
+    optional semantic segmentation (det+seg / seg-only per super_tasks,
+    reference voxelnet.py:239-302 + seg_heads/seg_head.py)."""
 
     def __init__(self, module, code_weights, weight, dataset="waymo",
-                 voxel_size=None, test_cfg=None):
+                 voxel_size=None, test_cfg=None, seg_weight=1.0,
+                 voxel_shape="cylinder"):
         super().__init__(module, test_cfg)
         self.code_weights = tuple(code_weights)
         self.weight = weight
+        self.seg_weight = seg_weight
         self.dataset = dataset
         self.voxel_size = voxel_size
+        self.voxel_shape = voxel_shape
+
+    def _seg_points(self, example):
+        """(points, mask) the seg head labels refer to — the current
+        (last) sweep for multi-sweep STROBE batches (B, S, P, C)."""
+        pts = example["points"]
+        mask = example["points_mask"]
+        if pts.ndim == 4:
+            pts, mask = pts[:, -1], mask[:, -1]
+        return pts, mask
+
+    def _seg_loss(self, preds, example):
+        """Majority-label seg loss at the seg head's grid resolution."""
+        from .seg_head import (majority_grid_labels, points_to_grid_cells,
+                               seg_loss)
+
+        sp = preds["seg_preds"]
+        out_shape = sp.shape[1:-1]  # (D, H, W) or (H, W)
+        pts, mask = self._seg_points(example)
+        gi, ok = points_to_grid_cells(
+            pts, mask, out_shape, self.module.pc_range, self.voxel_shape)
+        labels = majority_grid_labels(gi, ok, example["points_label"],
+                                      out_shape, sp.shape[-1])
+        return seg_loss(sp, labels, weight=self.seg_weight)
 
     def loss(self, variables, example, rng=None, train=True):
         from .center_head import center_head_loss
 
         preds, updates = self.forward(variables, example, rng, train)
-        ld = center_head_loss(preds, example, self.code_weights, self.weight,
-                              self.dataset)
+        if preds.get("det_preds"):
+            ld = dict(center_head_loss(preds, example, self.code_weights,
+                                       self.weight, self.dataset))
+        else:
+            ld = {"loss": 0.0}
+        if "seg_preds" in preds and "points_label" in example:
+            sl = self._seg_loss(preds, example)
+            ld["seg_loss"] = sl
+            ld["loss"] = ld["loss"] + sl
         return ld, updates
 
     def predict(self, variables, example):
@@ -227,7 +291,7 @@ class CenterPointDetector(Detector):
         preds = self.module.apply(variables, example, train=False)
         outs = []
         offset = 0
-        for task_preds in preds["det_preds"]:
+        for task_preds in preds.get("det_preds") or []:
             hm = task_preds["hm"]
             boxes, scores = center_head_decode(
                 task_preds, (hm.shape[1], hm.shape[2]), self.voxel_size,
@@ -241,10 +305,24 @@ class CenterPointDetector(Detector):
             )
             offset += hm.shape[-1]
         if len(outs) == 1:
-            return outs[0]
-        return {
-            k: jnp.concatenate([o[k] for o in outs], axis=1) for k in outs[0]
-        }
+            ret = outs[0]
+        elif outs:
+            ret = {k: jnp.concatenate([o[k] for o in outs], axis=1)
+                   for k in outs[0]}
+        else:
+            ret = {}
+        if "seg_preds" in preds and "points" in example:
+            from .seg_head import point_labels_from_grid, points_to_grid_cells
+
+            sp = preds["seg_preds"]
+            pts, mask = self._seg_points(example)
+            gi, ok = points_to_grid_cells(
+                pts, mask, sp.shape[1:-1],
+                self.module.pc_range, self.voxel_shape)
+            lab = point_labels_from_grid(sp, gi)
+            ret = dict(ret)
+            ret["point_seg_labels"] = jnp.where(ok, lab, 0)
+        return ret
 
 
 @DETECTORS.register_module(name="VoxelNetV3")
@@ -315,23 +393,33 @@ def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
 def build_voxelnet(reader, backbone, neck, bbox_head, seg_head=None,
                    part_head=None, pretrained=None, train_cfg=None,
                    test_cfg=None, bev_pspec=None):
-    """CenterPoint-style detector factory (VoxelNet + CenterHead family)."""
-    grid, pc_range, voxel_size = _grid_spec(bbox_head)
-    osf = bbox_head.get("out_size_factor", 8)
+    """CenterPoint-style detector factory (VoxelNet + CenterHead family).
 
-    head_cfg = dict(bbox_head)
-    head_cfg.pop("voxel_shape", None)
-    head_cfg.pop("code_weights", None)
-    head_cfg.pop("weight", None)
-    head_cfg.pop("dataset", None)
-    head_cfg["tasks"] = tuple(
-        {"class_names": tuple(t["class_names"])} for t in bbox_head["tasks"]
-    )
-    if "common_heads" in head_cfg:
-        head_cfg["common_heads"] = tuple(
-            sorted((k, tuple(v)) for k, v in
-                   dict(bbox_head["common_heads"]).items())
+    bbox_head may be None for segmentation-only models; the grid spec then
+    comes from the seg_head's voxel_generator (the reference's
+    voxelnet_seg_* configs set bbox_head=None,
+    /root/reference/configs/nusc/voxelnet/voxelnet_seg_10sweep.py:30)."""
+    spec_src = bbox_head if bbox_head is not None else seg_head
+    grid, pc_range, voxel_size = _grid_spec(spec_src)
+    osf = spec_src.get("out_size_factor", 8)
+
+    if bbox_head is not None:
+        head_cfg = dict(bbox_head)
+        head_cfg.pop("voxel_shape", None)
+        head_cfg.pop("code_weights", None)
+        head_cfg.pop("weight", None)
+        head_cfg.pop("dataset", None)
+        head_cfg["tasks"] = tuple(
+            {"class_names": tuple(t["class_names"])}
+            for t in bbox_head["tasks"]
         )
+        if "common_heads" in head_cfg:
+            head_cfg["common_heads"] = tuple(
+                sorted((k, tuple(v)) for k, v in
+                       dict(bbox_head["common_heads"]).items())
+            )
+    else:
+        head_cfg = None
 
     module = VoxelNetModule(
         reader_cfg=dict(reader),
@@ -339,17 +427,21 @@ def build_voxelnet(reader, backbone, neck, bbox_head, seg_head=None,
         neck_cfg={k: v for k, v in dict(neck).items()
                   if not k.startswith("set_") and k != "logger"},
         head_cfg=head_cfg,
+        seg_head_cfg=dict(seg_head) if seg_head else None,
         grid_size=grid,
         pc_range=pc_range,
         out_size_factor=osf,
         with_set_attention=False,
         bev_pspec=bev_pspec,
     )
+    src = bbox_head if bbox_head is not None else {}
     return CenterPointDetector(
         module,
-        code_weights=bbox_head.get("code_weights", [1.0] * 10),
-        weight=bbox_head.get("weight", 0.25),
-        dataset=bbox_head.get("dataset", "waymo"),
+        code_weights=src.get("code_weights", [1.0] * 10),
+        weight=src.get("weight", 0.25),
+        dataset=src.get("dataset", "waymo"),
         voxel_size=voxel_size,
         test_cfg=dict(test_cfg or {}),
+        seg_weight=(seg_head or {}).get("weight", 1.0),
+        voxel_shape=spec_src.get("voxel_shape", "cylinder"),
     )

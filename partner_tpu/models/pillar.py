@@ -143,7 +143,11 @@ def pp_scatter(pillar_features, pillar_coords, pillar_mask, grid_size):
 
 
 class PointPillarsModule(nn.Module):
-    """points -> PFN -> scatter -> neck -> head (NHWC)."""
+    """points -> PFN -> scatter -> neck -> head(s) (NHWC).
+
+    ``seg_head_cfg`` adds a semantic head over (canvas, neck-out) — the
+    reference's det+seg pillar multi-task (the han_method / strobe config
+    families, e.g. configs/nusc/pp/han_method/han_1_sector.py:54-64)."""
 
     reader_cfg: Any
     neck_cfg: Any
@@ -151,6 +155,7 @@ class PointPillarsModule(nn.Module):
     grid_size: Tuple[int, int, int]
     pc_range: Tuple[float, ...]
     voxel_size: Tuple[float, ...]
+    seg_head_cfg: Any = None
     max_pillars: int = 32768
     out_size_factor: int = 8
 
@@ -167,6 +172,14 @@ class PointPillarsModule(nn.Module):
         head_cfg.setdefault("pc_range", self.pc_range)
         head_cfg.setdefault("out_size_factor", self.out_size_factor)
         self.bbox_head = build_from_cfg(head_cfg, BBOX_HEADS)
+        if self.seg_head_cfg:
+            from .registry import SEG_HEADS
+            sc = {k: v for k, v in dict(self.seg_head_cfg).items()
+                  if k in ("type", "num_classes", "kernel", "in_channels",
+                           "up_scale", "height", "weight")}
+            self.seg_head = build_from_cfg(sc, SEG_HEADS)
+        else:
+            self.seg_head = None
 
     def encode_canvas(self, points, points_mask, train: bool = True):
         """points (B, P, C) -> BEV canvas (B, n_az, n_r, F).
@@ -212,7 +225,12 @@ class PointPillarsModule(nn.Module):
             example["points"], example["points_mask"], train
         )
         x = self.neck(canvas, train=train)
-        return self.bbox_head(x, train=train)
+        out = self.bbox_head(x, train=train)
+        if self.seg_head is not None:
+            out = dict(out)
+            out["seg_preds"] = self.seg_head(canvas, x, train=train)[
+                "seg_preds"]
+        return out
 
 
 @DETECTORS.register_module(name="PointPillars")
@@ -242,6 +260,7 @@ def build_point_pillars(reader, neck, bbox_head, backbone=None,
         reader_cfg=dict(reader),
         neck_cfg={k: v for k, v in dict(neck).items() if k != "logger"},
         head_cfg=head_cfg,
+        seg_head_cfg=dict(seg_head) if seg_head else None,
         grid_size=grid,
         pc_range=pc_range,
         voxel_size=voxel_size,
@@ -255,4 +274,6 @@ def build_point_pillars(reader, neck, bbox_head, backbone=None,
         dataset=bbox_head.get("dataset", "nuscenes"),
         voxel_size=voxel_size,
         test_cfg=dict(test_cfg or {}),
+        seg_weight=(seg_head or {}).get("weight", 1.0),
+        voxel_shape=bbox_head.get("voxel_shape", "cylinder"),
     )

@@ -54,7 +54,14 @@ class DeconvConvHead(nn.Module):
 
     @nn.compact
     def __call__(self, canvas, rpn_feat, train: bool = True):
-        """canvas (B, D, H, W, C1) voxel features; rpn_feat (B, h, w, C2)."""
+        """canvas (B, D, H, W, C1) voxel features or (B, H, W, C1) BEV;
+        rpn_feat (B, h, w, C2).
+
+        The reference deconvolves the stride-8 RPN features back to the
+        full voxel grid (seg_head.py:195-264); here the label grid is
+        whatever canvas the backbone exposes (quarter-res for the dense
+        TPU backbone), so the upsampled features are resized to the
+        canvas resolution when the deconv stride does not land exactly."""
         deconv_ch = (
             self.in_channels // self.up_scale if self.height == 1
             else self.height
@@ -64,10 +71,15 @@ class DeconvConvHead(nn.Module):
             deconv_ch, (2 * s, 2 * s), strides=(s, s), padding=s,
             use_bias=False,
         )(rpn_feat)
+        hw = canvas.shape[2:4] if canvas.ndim == 5 else canvas.shape[1:3]
+        if up.shape[1:3] != tuple(hw):
+            up = jax.image.resize(
+                up, (up.shape[0], hw[0], hw[1], up.shape[-1]),
+                method="bilinear")
         if canvas.ndim == 5:
             b, d, h, w, c1 = canvas.shape
             flat = canvas.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c1)
-            x = jnp.concatenate([flat, up[:, :h, :w]], axis=-1)
+            x = jnp.concatenate([flat, up], axis=-1)
             k = (self.kernel, self.kernel)
             y = nn.Conv(self.num_classes * d, k,
                         padding=self.kernel // 2)(x)
@@ -143,6 +155,61 @@ def seg_loss(seg_preds, voxel_labels, ignore=-1, weight=1.0):
         jax.nn.softmax(logits, axis=-1), flat_labels, valid
     )
     return weight * (ce + lv)
+
+
+def points_to_grid_cells(points, mask, out_shape, pc_range,
+                         voxel_shape="cylinder"):
+    """Per-point seg-grid indices for an (D, H, W) or (H, W) label grid.
+
+    Grid convention matches the BEV canvas everywhere in this framework:
+    rows (H) = azimuth/y, cols (W) = range/x (pillar.py:pp_scatter).
+    points (B, P, C): cylinder layout [rho, phi, z, ...] or cuboid
+    [x, y, z, ...]. Returns grid_ind (B, P, 3) int32 as (z, row, col)
+    (z = 0 for 2D grids) and ok (B, P) validity."""
+    if len(out_shape) == 3:
+        d, h, w = (int(s) for s in out_shape)
+    else:
+        d = 1
+        h, w = (int(s) for s in out_shape)
+    pr = jnp.asarray(pc_range, jnp.float32)
+    # cylinder: c0 = rho -> col, c1 = phi -> row; cuboid: x -> col, y -> row
+    col = jnp.floor((points[..., 0] - pr[0]) / ((pr[3] - pr[0]) / w))
+    row = jnp.floor((points[..., 1] - pr[1]) / ((pr[4] - pr[1]) / h))
+    zi = jnp.floor((points[..., 2] - pr[2]) / ((pr[5] - pr[2]) / d))
+    gi = jnp.stack([zi, row, col], -1).astype(jnp.int32)
+    ok = mask & jnp.all(
+        (gi >= 0) & (gi < jnp.asarray([d, h, w], jnp.int32)), -1)
+    return gi, ok
+
+
+def majority_grid_labels(grid_ind, ok, point_labels, out_shape, n_classes):
+    """Per-cell majority semantic label over an (D, H, W) or (H, W) grid
+    (device analog of the reference's numba voxel majority-label assigner,
+    /root/reference/det3d/datasets/pipelines/preprocess.py:170-191).
+
+    Labels are 1-based; 0 = unlabeled. Returns (B, [D,] H, W) int32."""
+    if len(out_shape) == 3:
+        d, h, w = (int(s) for s in out_shape)
+    else:
+        d = 1
+        h, w = (int(s) for s in out_shape)
+    cells = d * h * w
+
+    def one(gi, m, lab):
+        lin = (gi[:, 0] * h + gi[:, 1]) * w + gi[:, 2]
+        lin = jnp.where(m & (lab > 0), lin, cells)
+        onehot_idx = lin * (n_classes + 1) + jnp.clip(lab, 0, n_classes)
+        counts = jnp.zeros(((cells + 1) * (n_classes + 1),), jnp.int32
+                           ).at[onehot_idx].add(1, mode="drop")
+        counts = counts[: cells * (n_classes + 1)].reshape(
+            cells, n_classes + 1)
+        counts = counts.at[:, 0].set(0)
+        maj = jnp.argmax(counts, axis=-1)
+        maj = jnp.where(counts.sum(-1) > 0, maj, 0)
+        out = maj.reshape(d, h, w)
+        return out[0] if len(out_shape) == 2 else out
+
+    return jax.vmap(one)(grid_ind, ok, point_labels)
 
 
 def point_labels_from_grid(seg_preds, grid_ind):

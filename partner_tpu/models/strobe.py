@@ -69,7 +69,14 @@ class StrobeModule(PointPillarsModule):
                 _, prev_ctx = self.neck(warped, prev_sweep=None, train=train)
             x, prev_ctx = self.neck(canvas, prev_sweep=prev_ctx, train=train)
             prev_canvas = canvas
-        return self.bbox_head(x, train=train)
+        out = self.bbox_head(x, train=train)
+        if self.seg_head is not None:
+            # semantic head on the current (last) sweep's canvas, like the
+            # reference STROBE det+seg multi-task (strobe_uber.py seg path)
+            out = dict(out)
+            out["seg_preds"] = self.seg_head(canvas, x, train=train)[
+                "seg_preds"]
+        return out
 
 
 class PolarStreamLSTMModule(PolarStreamModule):
@@ -149,7 +156,11 @@ def _build_strobe(variant):
         from .detectors import CenterPointDetector
 
         kw = _pillar_cfg(reader, neck, bbox_head, max_pillars)
-        module = StrobeModule(variant=variant, **kw)
+        module = StrobeModule(
+            variant=variant,
+            seg_head_cfg=dict(seg_head) if seg_head else None,
+            **kw,
+        )
         return CenterPointDetector(
             module,
             code_weights=bbox_head.get("code_weights", [1.0] * 10),
@@ -157,6 +168,8 @@ def _build_strobe(variant):
             dataset=bbox_head.get("dataset", "nuscenes"),
             voxel_size=kw["voxel_size"],
             test_cfg=dict(test_cfg or {}),
+            seg_weight=(seg_head or {}).get("weight", 1.0),
+            voxel_shape=bbox_head.get("voxel_shape", "cylinder"),
         )
     return build
 

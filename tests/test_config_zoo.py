@@ -234,6 +234,156 @@ class TestScheduleVariants:
         assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
 
 
+class TestSegOnlyConfigs:
+    """Segmentation-only VoxelNet ports (reference voxelnet_seg_10sweep /
+    voxelnet_seg_cylinder, bbox_head=None per SURVEY §0)."""
+
+    @pytest.mark.parametrize("rel,nfeat,layout", [
+        ("nusc/voxelnet/voxelnet_seg_10sweep.py", 5, "cuboid"),
+        ("nusc/voxelnet/voxelnet_seg_cylinder.py", 7, "cylinder"),
+    ])
+    def test_seg_only_builds_and_steps(self, rng, rel, nfeat, layout):
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(CFG_DIR, rel))
+        assert cfg.model["bbox_head"] is None
+        vs = list(cfg.voxel_generator["voxel_size"])
+        vs[0] *= 8
+        vs[1] *= 8
+        for vg in (cfg.voxel_generator,
+                   cfg.seg_head["voxel_generator"],
+                   cfg.model["seg_head"]["voxel_generator"]):
+            vg["voxel_size"] = list(vs)
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+
+        pr = cfg.voxel_generator["range"]
+        cap, n = 2048, 1200
+        if layout == "cuboid":
+            x = rng.uniform(pr[0] + 0.5, pr[3] - 0.5, n)
+            y = rng.uniform(pr[1] + 0.5, pr[4] - 0.5, n)
+            z = rng.uniform(pr[2] + 0.1, pr[5] - 0.1, n)
+            cols = [x, y, z]
+        else:
+            rho = rng.uniform(pr[0] + 0.2, pr[3] - 0.2, n)
+            phi = rng.uniform(pr[1], pr[4], n)
+            z = rng.uniform(pr[2] + 0.1, pr[5] - 0.1, n)
+            cols = [rho, phi, z, rho * np.cos(phi), rho * np.sin(phi)]
+        while len(cols) < nfeat:
+            cols.append(rng.rand(n))
+        pts = np.stack(cols[:nfeat], 1).astype(np.float32)
+        pad = np.zeros((cap, nfeat), np.float32)
+        pad[:n] = pts
+        m = np.zeros((cap,), bool)
+        m[:n] = True
+        pts_j = jnp.asarray(pad[None])
+        mask_j = jnp.asarray(m[None])
+
+        ex = _voxelize_example(cfg, pts_j, mask_j)
+        ex["points"] = pts_j
+        ex["points_mask"] = mask_j
+        ex["points_label"] = jnp.asarray(
+            rng.randint(0, 17, (1, cap)).astype(np.int32))
+
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        assert "seg_loss" in ld
+        out = det.predict(variables, ex)
+        assert "box3d_lidar" not in out
+        lab = np.asarray(out["point_seg_labels"])
+        assert lab.shape == (1, cap)
+        assert lab[0, :n].min() >= 0 and lab[0, :n].max() <= 16
+
+
+class TestCartesianMultiTaskConfigs:
+    """han_method / strobe ports: cuboid det+seg pillars
+    (reference configs/nusc/pp/{han_method,strobe}/)."""
+
+    def _cart_scene(self, rng, cfg, cap=2048, n=1200, nfeat=7):
+        import jax.numpy as jnp
+
+        pr = cfg.voxel_generator["range"]
+        x = rng.uniform(pr[0] + 0.5, pr[3] - 0.5, n)
+        y = rng.uniform(pr[1] + 0.5, pr[4] - 0.5, n)
+        z = rng.uniform(pr[2] + 0.1, pr[5] - 0.1, n)
+        cols = [x, y, z]
+        while len(cols) < nfeat:
+            cols.append(rng.rand(n))
+        pts = np.stack(cols[:nfeat], 1).astype(np.float32)
+        pad = np.zeros((cap, nfeat), np.float32)
+        pad[:n] = pts
+        m = np.zeros((cap,), bool)
+        m[:n] = True
+        boxes = np.zeros((3, 9), np.float32)
+        boxes[:, 0] = [5.0, -10.0, 20.0]
+        boxes[:, 1] = [5.0, 8.0, -15.0]
+        boxes[:, 3:6] = [4.0, 2.0, 1.6]
+        boxes[:, -1] = [0.3, -0.5, 1.0]
+        return boxes, jnp.asarray(pad[None]), jnp.asarray(m[None])
+
+    def _shrunk(self, rel):
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(CFG_DIR, rel))
+        vs = list(cfg.voxel_generator["voxel_size"])
+        vs[0] *= 8
+        vs[1] *= 8
+        for vg in (cfg.voxel_generator,
+                   cfg.bbox_head["voxel_generator"],
+                   cfg.model["bbox_head"]["voxel_generator"]):
+            vg["voxel_size"] = list(vs)
+        return cfg
+
+    def test_han_1_sector(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+
+        cfg = self._shrunk("nusc/pp/han_1_sector.py")
+        assert cfg.voxel_generator["voxel_shape"] == "cuboid"
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        boxes, pts, mask = self._cart_scene(rng, cfg)
+        ex = {"points": pts, "points_mask": mask,
+              "points_label": jnp.asarray(
+                  rng.randint(0, 17, (1, pts.shape[1])).astype(np.int32))}
+        ex.update(_targets(cfg, boxes))
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"])) and "seg_loss" in ld
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+        assert out["point_seg_labels"].shape == mask.shape
+
+    def test_strobe_1_sector(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+
+        cfg = self._shrunk("nusc/pp/strobe_1_sector.py")
+        assert cfg.model["type"] == "STROBE"
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        boxes, pts, mask = self._cart_scene(rng, cfg)
+        # two sweeps: previous + current (the RPNUber carry)
+        pts2 = jnp.stack([pts, pts], axis=1)      # (B, S=2, P, C)
+        mask2 = jnp.stack([mask, mask], axis=1)   # (B, S=2, P)
+        ex = {"points": pts2, "points_mask": mask2,
+              "points_label": jnp.asarray(
+                  rng.randint(0, 17, (1, pts.shape[1])).astype(np.int32))}
+        ex.update(_targets(cfg, boxes))
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"])) and "seg_loss" in ld
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+        assert out["point_seg_labels"].shape == (1, pts.shape[1])
+
+
 class TestDCNConfig:
     def test_nusc_dcn_builds_and_steps(self, rng):
         """nusc CenterPoint-DCN config: 6 task groups through DCNSepHead
