@@ -196,11 +196,15 @@ class TwoStageDetector(Detector):
     """Driver: joint first-stage + RoI loss; refined predict."""
 
     def __init__(self, module, first_driver, test_cfg=None,
-                 num_proposals_train=128, roi_weight=1.0):
+                 num_proposals_train=128, roi_weight=1.0, freeze=False):
         super().__init__(module, test_cfg)
         self.first_driver = first_driver
         self.num_proposals_train = num_proposals_train
         self.roi_weight = roi_weight
+        # freeze = fine-tune the RoI head only (the reference's
+        # *_ft_6epoch_freeze configs, two_stage.py:freeze kwarg): the
+        # first-stage loss is dropped and no gradient flows into the BEV
+        self.freeze = freeze
 
     def init(self, rng, example):
         import functools
@@ -216,8 +220,13 @@ class TwoStageDetector(Detector):
             variables, example, train=train, rngs=rngs,
             mutable=["batch_stats"] if train else [])
         fd = self.first_driver
-        ld = center_head_loss(preds, example, fd.code_weights, fd.weight,
-                              fd.dataset)
+        if self.freeze:
+            preds = jax.lax.stop_gradient(preds)
+            bev = jax.lax.stop_gradient(bev)
+            ld = {"loss": 0.0}
+        else:
+            ld = center_head_loss(preds, example, fd.code_weights,
+                                  fd.weight, fd.dataset)
 
         # proposals: top-K decoded first-stage boxes (no NMS at train)
         task = preds["det_preds"][0]
@@ -296,9 +305,15 @@ def build_two_stage(first_stage_cfg, roi_head=None, second_stage_modules=None,
     assert isinstance(first, CenterPointDetector), (
         "two-stage wraps a CenterPoint-style first stage")
     roi_cfg = dict(roi_head or {})
+    # accept both the compact {fc: [...]} form and the reference's nested
+    # model_cfg.SHARED_FC (two_stage config contract)
+    fc = roi_cfg.get("fc")
+    if fc is None:
+        fc = dict(roi_cfg.get("model_cfg", {})).get("SHARED_FC", (256, 256))
     module = TwoStageModule(
         first=first.module,
-        roi_fc=tuple(roi_cfg.get("fc", (256, 256))),
+        roi_fc=tuple(fc),
         num_point=num_point,
     )
-    return TwoStageDetector(module, first, test_cfg=dict(test_cfg or {}))
+    return TwoStageDetector(module, first, test_cfg=dict(test_cfg or {}),
+                            freeze=freeze)

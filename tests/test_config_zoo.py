@@ -384,6 +384,60 @@ class TestCartesianMultiTaskConfigs:
         assert out["point_seg_labels"].shape == (1, pts.shape[1])
 
 
+class TestTwoStageConfigs:
+    """Two-stage RoI fine-tune ports (reference
+    configs/waymo/voxelnet/two_stage/)."""
+
+    @pytest.mark.parametrize("rel,nsweeps", [
+        ("waymo/two_stage/"
+         "waymo_centerpoint_voxelnet_two_stage_bev_5point_ft_6epoch_freeze"
+         ".py", 1),
+        ("waymo/two_stage/"
+         "waymo_centerpoint_voxelnet_two_sweep_two_stage_bev_5point_ft_"
+         "6epoch_freeze_with_vel.py", 2),
+    ])
+    def test_two_stage_builds_and_steps(self, rng, rel, nsweeps):
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(CFG_DIR, rel))
+        vs = list(cfg.voxel_generator["voxel_size"])
+        vs[0] *= 8
+        vs[1] *= 8
+        fs = cfg.model["first_stage_cfg"]
+        for vg in (cfg.voxel_generator, cfg.bbox_head["voxel_generator"],
+                   fs["bbox_head"]["voxel_generator"]):
+            vg["voxel_size"] = list(vs)
+        assert cfg.model["freeze"] is True
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+
+        nfeat = fs["reader"]["num_input_features"]
+        boxes, pts, mask = _scene(rng, cfg.voxel_generator["range"])
+        featsN = jnp.concatenate(
+            [pts[..., :5]] + [pts[..., 3:4] * 0] * (nfeat - 5), -1)
+        ex = _voxelize_example(cfg, featsN, mask)
+        boxes7 = np.concatenate([boxes[:, :6], boxes[:, -1:]], 1)
+        ex.update(_targets(cfg, boxes7))
+        m = len(boxes7)
+        gb = np.zeros((1, 16, 8), np.float32)
+        gb[0, :m, :7] = boxes7
+        gb[0, :m, 7] = 1.0  # class (1-based)
+        gm = np.zeros((1, 16), bool)
+        gm[0, :m] = True
+        ex["global_box"] = jnp.asarray(gb)
+        ex["global_box_mask"] = jnp.asarray(gm)
+
+        variables = det.init(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        assert "roi_cls_loss" in ld and "roi_reg_loss" in ld
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+
+
 class TestDCNConfig:
     def test_nusc_dcn_builds_and_steps(self, rng):
         """nusc CenterPoint-DCN config: 6 task groups through DCNSepHead
