@@ -44,6 +44,7 @@ class DynamicPFNet(nn.Module):
     raz_cluster: bool = True
     xy_center: bool = True
     ra_center: bool = True
+    with_distance: bool = False
     voxel_size: Sequence[float] = (0.2, 0.2, 8)
     pc_range: Sequence[float] = (0, -40, -3, 70.4, 40, 1)
 
@@ -107,6 +108,9 @@ class DynamicPFNet(nn.Module):
                 rc, ac = c1p, c2p
             feats.append((ra[:, 0] - rc)[:, None])
             feats.append((ra[:, 1] - ac)[:, None])
+
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
 
         x = jnp.concatenate(feats, axis=-1)
         x = x * valid[:, None]
@@ -231,6 +235,22 @@ class PointPillarsModule(nn.Module):
             out["seg_preds"] = self.seg_head(canvas, x, train=train)[
                 "seg_preds"]
         return out
+
+
+@READERS.register_module(name="PillarFeatureNet")
+class PillarFeatureNet(DynamicPFNet):
+    """Reference cartesian pillar encoder
+    (/root/reference/det3d/models/readers/pillar_encoder.py:73-169):
+    raw features + xyz cluster-mean offsets + xy pillar-center offsets
+    (+ optional distance), as a dynamic segment implementation — the
+    hard-voxelized gather/pad of the reference collapses into the same
+    fused point->pillar pass as DynamicPFNet."""
+
+    voxel_shape: str = "cuboid"
+    xyz_cluster: bool = True
+    xy_center: bool = True
+    raz_cluster: bool = False
+    ra_center: bool = False
 
 
 @DETECTORS.register_module(name="PointPillars")

@@ -384,6 +384,46 @@ class TestCartesianMultiTaskConfigs:
         assert out["point_seg_labels"].shape == (1, pts.shape[1])
 
 
+class TestWaymoPPConfigs:
+    """Waymo cartesian CenterPoint-Pillar ports (reference
+    configs/waymo/pp/)."""
+
+    @pytest.mark.parametrize("rel,ncls", [
+        ("waymo/pp/waymo_centerpoint_pp_two_pfn_stride1_3x.py", 3),
+        ("waymo/pp/waymo_centerpoint_pp_two_cls_two_pfn_stride1_3x.py", 2),
+    ])
+    def test_pp_builds_and_steps(self, rng, rel, ncls):
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(CFG_DIR, rel))
+        assert len(cfg.tasks[0]["class_names"]) == ncls
+        vs = list(cfg.voxel_generator["voxel_size"])
+        # factor 9 keeps the shrunk grid (52) divisible by the RPN's
+        # stride product of 4 (full scale: 468 = 4 * 117)
+        vs[0] *= 9
+        vs[1] *= 9
+        for vg in (cfg.voxel_generator, cfg.bbox_head["voxel_generator"],
+                   cfg.model["bbox_head"]["voxel_generator"]):
+            vg["voxel_size"] = list(vs)
+        cfg.model["reader"]["voxel_size"] = tuple(vs)
+
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        helper = TestCartesianMultiTaskConfigs()
+        boxes, pts, mask = helper._cart_scene(rng, cfg, nfeat=5)
+        boxes7 = np.concatenate([boxes[:, :6], boxes[:, -1:]], 1)
+        ex = {"points": pts, "points_mask": mask}
+        ex.update(_targets(cfg, boxes7))
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+
+
 class TestTwoStageConfigs:
     """Two-stage RoI fine-tune ports (reference
     configs/waymo/voxelnet/two_stage/)."""
