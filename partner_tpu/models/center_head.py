@@ -414,15 +414,21 @@ def center_head_loss(preds_dicts, example, code_weights, weight,
 
 
 def center_head_decode(preds, grid_hw, voxel_size, pc_range, out_size_factor,
-                       voxel_shape="cylinder", rectify=False):
+                       voxel_shape="cylinder", rectify=False,
+                       pre_activated=False):
     """One task's maps -> (boxes (B, N, 7 or 9), scores (B, N, C)).
 
-    grid_hw = (n_az, n_r) of the feature map.
-    """
+    grid_hw = (n_az, n_r) of the feature map. ``pre_activated`` marks maps
+    whose hm is already sigmoided and dim already exp'd (the
+    double_flip_average output contract)."""
     b, h, w, ncls = preds["hm"].shape
     n = h * w
-    hm = jax.nn.sigmoid(preds["hm"]).reshape(b, n, ncls)
-    dims = jnp.exp(jnp.clip(preds["dim"], -8.0, 8.0)).reshape(b, n, 3)
+    if pre_activated:
+        hm = preds["hm"].reshape(b, n, ncls)
+        dims = preds["dim"].reshape(b, n, 3)
+    else:
+        hm = jax.nn.sigmoid(preds["hm"]).reshape(b, n, ncls)
+        dims = jnp.exp(jnp.clip(preds["dim"], -8.0, 8.0)).reshape(b, n, 3)
     # targets store (sin, cos) (preprocess.py:330-341)
     rot = jnp.arctan2(preds["rot"][..., 0], preds["rot"][..., 1]).reshape(b, n)
     hei = preds["height"].reshape(b, n)

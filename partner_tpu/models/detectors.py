@@ -292,12 +292,21 @@ class CenterPointDetector(Detector):
         outs = []
         offset = 0
         for task_preds in preds.get("det_preds") or []:
+            double_flip = bool(self.test_cfg.get("double_flip"))
+            if double_flip:
+                # batch is B*4 grouped [orig, yflip, xflip, xyflip]
+                # (reference center_head.py:290-348 TTA contract); the
+                # averaged maps come back pre-activated
+                from .center_head import double_flip_average
+
+                task_preds = double_flip_average(task_preds)
             hm = task_preds["hm"]
             boxes, scores = center_head_decode(
                 task_preds, (hm.shape[1], hm.shape[2]), self.voxel_size,
                 self.module.pc_range, self.module.out_size_factor,
-                voxel_shape="cylinder",
+                voxel_shape=self.voxel_shape,
                 rectify=self.test_cfg.get("rectify", False),
+                pre_activated=double_flip,
             )
             outs.append(
                 center_head_post_process(boxes, scores, self.test_cfg,

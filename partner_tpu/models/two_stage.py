@@ -100,6 +100,7 @@ class TwoStageModule(nn.Module):
     first: VoxelNetModule
     roi_fc: Tuple[int, ...] = (256, 256)
     num_point: int = 5
+    voxel_shape: str = "cylinder"
 
     def setup(self):
         self.roi_head = RoIHead(fc_channels=self.roi_fc)
@@ -123,7 +124,8 @@ class TwoStageModule(nn.Module):
 
         def one(bmap, p):
             return bev_bilinear_sample(bmap, p.reshape(-1, 3)[:, :2],
-                                       pc_range, osf, grid)
+                                       pc_range, osf, grid,
+                                       voxel_shape=self.voxel_shape)
 
         feats = jax.vmap(one)(bev, pts)  # (B, N*5, C)
         b, n = boxes.shape[:2]
@@ -234,7 +236,7 @@ class TwoStageDetector(Detector):
         boxes, scores = center_head_decode(
             task, (hm.shape[1], hm.shape[2]), fd.voxel_size,
             self.module.first.pc_range, self.module.first.out_size_factor,
-            voxel_shape="cylinder")
+            voxel_shape=fd.voxel_shape)
         cls_score = scores.max(-1)
         k = min(self.num_proposals_train, boxes.shape[1])
         top_s, top_i = jax.lax.top_k(cls_score, k)
@@ -273,7 +275,7 @@ class TwoStageDetector(Detector):
         boxes, scores = center_head_decode(
             task, (hm.shape[1], hm.shape[2]), fd.voxel_size,
             self.module.first.pc_range, self.module.first.out_size_factor,
-            voxel_shape="cylinder",
+            voxel_shape=fd.voxel_shape,
             rectify=self.test_cfg.get("rectify", False))
         out = center_head_post_process(boxes, scores, self.test_cfg)
 
@@ -314,6 +316,7 @@ def build_two_stage(first_stage_cfg, roi_head=None, second_stage_modules=None,
         first=first.module,
         roi_fc=tuple(fc),
         num_point=num_point,
+        voxel_shape=first.voxel_shape,
     )
     return TwoStageDetector(module, first, test_cfg=dict(test_cfg or {}),
                             freeze=freeze)

@@ -479,6 +479,98 @@ class TestTwoStageConfigs:
 
 
 class TestDCNConfig:
+    def test_01voxel_builds_and_steps(self, rng):
+        """Plain-SepHead sibling of the DCN config (reference
+        nusc_centerpoint_voxelnet_01voxel.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(
+            CFG_DIR, "nusc/voxelnet/nusc_centerpoint_voxelnet_01voxel.py"))
+        assert cfg.bbox_head["dcn_head"] is False
+        vs = list(cfg.voxel_generator["voxel_size"])
+        vs[0] *= 8
+        vs[1] *= 8
+        for vg in (cfg.voxel_generator, cfg.bbox_head["voxel_generator"],
+                   cfg.model["bbox_head"]["voxel_generator"]):
+            vg["voxel_size"] = list(vs)
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        boxes, pts, mask = _scene(rng, cfg.voxel_generator["range"])
+        feats7 = jnp.concatenate(
+            [pts[..., :5], pts[..., 3:4] * 0, pts[..., 3:4] * 0], -1)
+        ex = _voxelize_example(cfg, feats7, mask)
+        ex.update(_targets(cfg, boxes))
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex)
+        assert "feature_adapt_cls" not in str(
+            jax.tree_util.tree_structure(variables["params"]["bbox_head"]))
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+
+    def test_dcn_flip_tta_predict(self, rng):
+        """double_flip=True: a truly flip-grouped B*4 cartesian batch
+        decodes to B results whose peak is NOT crushed by misalignment
+        (the de-flip geometry check; reference dcn_flip TTA contract)."""
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(
+            CFG_DIR, "nusc/voxelnet/nusc_centerpoint_voxelnet_dcn_flip.py"))
+        assert cfg.test_cfg["double_flip"] is True
+        assert cfg.voxel_generator["voxel_shape"] == "cuboid"
+        vs = list(cfg.voxel_generator["voxel_size"])
+        # factor 10 keeps the shrunk grid (144) stride-8 divisible
+        vs[0] *= 10
+        vs[1] *= 10
+        for vg in (cfg.voxel_generator, cfg.bbox_head["voxel_generator"],
+                   cfg.model["bbox_head"]["voxel_generator"]):
+            vg["voxel_size"] = list(vs)
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        det_plain = build_detector(
+            cfg.model, cfg.train_cfg,
+            {**dict(cfg.test_cfg), "double_flip": False})
+
+        pr = cfg.voxel_generator["range"]
+        cap, n = 1024, 700
+        x = rng.uniform(pr[0] + 1, pr[3] - 1, n)
+        y = rng.uniform(pr[1] + 1, pr[4] - 1, n)
+        z = rng.uniform(pr[2] + 0.2, pr[5] - 0.2, n)
+        pts = np.stack([x, y, z, rng.rand(n), rng.rand(n)], 1)
+        pad = np.zeros((cap, 5), np.float32)
+        pad[:n] = pts
+        m = np.zeros((cap,), bool)
+        m[:n] = True
+        yflip = pad.copy()
+        yflip[:, 1] *= -1
+        xflip = pad.copy()
+        xflip[:, 0] *= -1
+        xyflip = pad.copy()
+        xyflip[:, :2] *= -1
+        batch4 = jnp.asarray(np.stack([pad, yflip, xflip, xyflip]))
+        mask4 = jnp.asarray(np.stack([m] * 4))
+        ex4 = _voxelize_example(cfg, batch4, mask4)
+        ex1 = _voxelize_example(cfg, jnp.asarray(pad[None]),
+                                jnp.asarray(m[None]))
+
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex1)
+        out = det.predict(variables, ex4)
+        assert out["box3d_lidar"].shape[0] == 1  # B*4 -> B
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+        top_tta = float(np.asarray(out["scores"]).max())
+        out_plain = det_plain.predict(variables, ex1)
+        top_plain = float(np.asarray(out_plain["scores"]).max())
+        # a de-flip geometry bug misaligns the four maps and crushes the
+        # averaged peak toward the background level; correct de-flipping
+        # keeps it within a factor of the single-view peak
+        assert top_tta > 0.5 * top_plain, (top_tta, top_plain)
+
     def test_nusc_dcn_builds_and_steps(self, rng):
         """nusc CenterPoint-DCN config: 6 task groups through DCNSepHead
         (reference nusc_centerpoint_voxelnet_0075voxel_dcn.py analog)."""
