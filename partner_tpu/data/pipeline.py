@@ -360,21 +360,34 @@ class AssignLabel:
 
     def _assign_sectors(self, boxes, classes, meta):
         """Per-sector targets: rotate GT into the canonical sector frame and
-        assign on the sector grid (the streaming-polar scheme of the
-        reference, pipelines/voxelization.py:305-393). Targets gain a
-        leading sector axis."""
+        assign on the sector grid. Cylinder sectors follow the streaming-
+        polar scheme (reference pipelines/voxelization.py:305-393); cuboid
+        sectors the streaming-cart scheme (:183-303) — azimuth wedges from
+        -pi on the reduced cartesian grid. Targets gain a leading sector
+        axis."""
         full_range = np.asarray(meta["range"], np.float32)
-        span = (full_range[4] - full_range[1]) / self.nsectors
-        sec_range = full_range.copy()
-        sec_range[4] = sec_range[1] + span
-        sec_shape = np.asarray(meta["shape"]).copy()
-        sec_shape[1] = sec_shape[1] // self.nsectors
+        if self.assigner.voxel_shape == "cuboid":
+            from ..models.polarstream import cart_sector_spec
+
+            span = 2 * np.pi / self.nsectors
+            az_lo = -np.pi
+            sec_range, sec_shape = cart_sector_spec(
+                full_range, np.asarray(meta["shape"]), self.nsectors)
+            sec_range = np.asarray(sec_range, np.float32)
+            sec_shape = np.asarray(sec_shape)
+        else:
+            span = (full_range[4] - full_range[1]) / self.nsectors
+            az_lo = full_range[1]
+            sec_range = full_range.copy()
+            sec_range[4] = sec_range[1] + span
+            sec_shape = np.asarray(meta["shape"]).copy()
+            sec_shape[1] = sec_shape[1] // self.nsectors
 
         az = (np.arctan2(boxes[:, 1], boxes[:, 0])
               if len(boxes) else np.zeros((0,)))
         per_sector = []
         for s in range(self.nsectors):
-            lo = full_range[1] + s * span
+            lo = az_lo + s * span
             m = (az >= lo) & (az < lo + span)
             b = _rotate_boxes(boxes[m], -s * span)
             per_sector.append(self.assigner.assign(

@@ -224,7 +224,7 @@ class PointPillarsModule(nn.Module):
             lambda f, co, m: pp_scatter(f, co, m, self.grid_size)
         )(feats, vox["coords"], vox["mask"])
 
-    def __call__(self, example, train: bool = True):
+    def __call__(self, example, train: bool = True, return_bev: bool = False):
         canvas = self.encode_canvas(
             example["points"], example["points_mask"], train
         )
@@ -234,6 +234,8 @@ class PointPillarsModule(nn.Module):
             out = dict(out)
             out["seg_preds"] = self.seg_head(canvas, x, train=train)[
                 "seg_preds"]
+        if return_bev:  # two-stage RoI refinement samples the neck map
+            return out, x
         return out
 
 

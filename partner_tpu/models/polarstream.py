@@ -33,29 +33,67 @@ from .pillar import pp_scatter
 from .registry import BBOX_HEADS, DETECTORS, NECKS, READERS, build_from_cfg
 
 
+def cart_sector_spec(full_range, grid, n_sectors):
+    """Reduced cartesian grid for azimuth-wedge streaming — the reference's
+    grid-halving scheme (voxelization.py:voxelize_streaming_cart:196-222):
+    every sector's wedge [-pi + s*span, -pi + (s+1)*span) is rotated into
+    the canonical first wedge starting at -pi, which fits in the lower-left
+    part of the cartesian bbox."""
+    rng = list(full_range)
+    g = list(grid)
+    if n_sectors >= 4:
+        g[0] //= 2
+        g[1] //= 2
+        rng[3] = 0.0
+        rng[4] = 0.0
+    elif n_sectors >= 2:
+        g[1] //= 2
+        rng[4] = 0.0
+    return tuple(rng), tuple(g)
+
+
 class PolarStreamModule(nn.Module):
-    """points -> per-sector (PFN -> scatter -> streaming neck -> head)."""
+    """points -> per-sector (PFN -> scatter -> streaming neck -> head).
+
+    ``voxel_shape='cuboid'`` switches to cartesian azimuth-wedge streaming
+    (the reference's voxelize_streaming_cart scheme used by the han_method
+    / strobe sector configs): sectors are angle wedges of the cartesian
+    grid, rotated into a canonical wedge and voxelized on the reduced
+    cartesian sector grid."""
 
     reader_cfg: Any
     neck_cfg: Any
     head_cfg: Any
-    grid_size: Tuple[int, int, int]  # FULL sweep (n_r, n_az, n_z)
+    grid_size: Tuple[int, int, int]  # FULL sweep (n_r|n_x, n_az|n_y, n_z)
     pc_range: Tuple[float, ...]     # FULL sweep
     voxel_size: Tuple[float, ...]
     seg_head_cfg: Any = None
     n_sectors: int = 1
     max_pillars: int = 32768        # per sector
     out_size_factor: int = 8
+    voxel_shape: str = "cylinder"
+
+    def angle_span(self):
+        """Azimuth extent of one sector (radians)."""
+        if self.voxel_shape == "cuboid":
+            return 2 * np.pi / self.n_sectors
+        return (self.pc_range[4] - self.pc_range[1]) / self.n_sectors
 
     def sector_span(self):
         return (self.pc_range[4] - self.pc_range[1]) / self.n_sectors
 
     def sector_range(self):
+        if self.voxel_shape == "cuboid":
+            return cart_sector_spec(self.pc_range, self.grid_size,
+                                    self.n_sectors)[0]
         r = list(self.pc_range)
         r[4] = r[1] + self.sector_span()
         return tuple(r)
 
     def sector_grid(self):
+        if self.voxel_shape == "cuboid":
+            return cart_sector_spec(self.pc_range, self.grid_size,
+                                    self.n_sectors)[1]
         g = list(self.grid_size)
         g[1] = g[1] // self.n_sectors
         return tuple(g)
@@ -82,9 +120,25 @@ class PolarStreamModule(nn.Module):
     def _rotate_to_sector(self, points, mask, s):
         """Select sector s's points and re-reference them to sector 0.
 
-        points: (B, P, C) cylinder layout [rho, phi, z, x, y, feats...].
-        """
-        span = self.sector_span()
+        cylinder: points (B, P, C) [rho, phi, z, x, y, feats...];
+        cuboid: points (B, P, C) [x, y, z, feats...] — the wedge
+        [-pi + s*span, -pi + (s+1)*span) is rotated by -s*span so every
+        sector lands on the canonical wedge starting at -pi
+        (voxelize_streaming_cart:260-273 semantics)."""
+        span = self.angle_span()
+        if self.voxel_shape == "cuboid":
+            x, y = points[..., 0], points[..., 1]
+            rho = jnp.hypot(x, y)
+            phi = jnp.arctan2(y, x)
+            lo = -jnp.pi + s * span
+            sel = mask & (phi >= lo) & (phi < lo + span)
+            new_phi = phi - s * span
+            cols = [(rho * jnp.cos(new_phi))[..., None],
+                    (rho * jnp.sin(new_phi))[..., None],
+                    points[..., 2:3]]
+            if points.shape[-1] > 3:
+                cols.append(points[..., 3:])
+            return jnp.concatenate(cols, axis=-1), sel
         lo = self.pc_range[1] + s * span
         phi = points[..., 1]
         sel = mask & (phi >= lo) & (phi < lo + span)
@@ -244,10 +298,16 @@ class PolarStreamDetector(Detector):
             from .seg_head import seg_loss
 
             mod = self.module
+            # multi-sweep sector batches (B, S, P, C): seg labels refer to
+            # the current (last) sweep
+            pts = example["points"]
+            pmask = example["points_mask"]
+            if pts.ndim == 4:
+                pts, pmask = pts[:, -1], pmask[:, -1]
             seg_total = 0.0
             for s, sp in enumerate(preds["seg_preds"]):
                 a_idx, r_idx, ok = mod.apply(
-                    variables, example["points"], example["points_mask"],
+                    variables, pts, pmask,
                     s, method=type(mod).point_cells)
                 labels = majority_cell_labels(
                     a_idx, r_idx, ok, example["points_label"],
@@ -264,7 +324,8 @@ class PolarStreamDetector(Detector):
 
         preds = self.module.apply(variables, example, train=False)
         mod = self.module
-        span = mod.sector_span()
+        span = mod.angle_span()
+        az0 = -jnp.pi if mod.voxel_shape == "cuboid" else mod.pc_range[1]
         sr = mod.sector_range()
         nms_cfg = dict(self.test_cfg.get("nms", {}))
         thr = self.test_cfg.get("score_threshold", 0.1)
@@ -281,7 +342,7 @@ class PolarStreamDetector(Detector):
             hw = (task["hm"].shape[1], task["hm"].shape[2])
             boxes, scores = center_head_decode(
                 task, hw, self.voxel_size, sr, mod.out_size_factor,
-                voxel_shape="cylinder",
+                voxel_shape=mod.voxel_shape,
                 rectify=self.test_cfg.get("rectify", False))
             boxes = rotate_boxes_to_global(boxes, s * span)
 
@@ -324,7 +385,7 @@ class PolarStreamDetector(Detector):
                          "label_preds": kl})
 
             # next carry: kept dets within carry_margin of the leading edge
-            edge = sr[1] + (s + 1) * span
+            edge = az0 + (s + 1) * span
             az = jnp.arctan2(kb[..., 1], kb[..., 0])
             daz = jnp.abs((az - edge + jnp.pi) % (2 * jnp.pi) - jnp.pi)
             near = km & (daz < self.carry_margin)
@@ -340,10 +401,14 @@ class PolarStreamDetector(Detector):
         if "seg_preds" in preds:
             from .seg_head import point_labels_from_grid
 
+            pts = example["points"]
+            pmask = example["points_mask"]
+            if pts.ndim == 4:
+                pts, pmask = pts[:, -1], pmask[:, -1]
             plabels = []
             for s, sp in enumerate(preds["seg_preds"]):
                 a_idx, r_idx, ok = mod.apply(
-                    variables, example["points"], example["points_mask"],
+                    variables, pts, pmask,
                     s, method=type(mod).point_cells)
                 gi = jnp.stack([jnp.zeros_like(a_idx), a_idx, r_idx], -1)
                 lab = point_labels_from_grid(sp, gi)
@@ -397,6 +462,7 @@ def build_polarstream(reader, neck, bbox_head, backbone=None, seg_head=None,
         n_sectors=n_sectors,
         max_pillars=max_pillars,
         out_size_factor=osf,
+        voxel_shape=bbox_head.get("voxel_shape", "cylinder"),
     )
     return PolarStreamDetector(
         module,

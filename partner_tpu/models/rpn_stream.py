@@ -261,10 +261,13 @@ class ConvLSTMCell(nn.Module):
         return h, (h, c)
 
 
+@NECKS.register_module(name="RPNWaymo")
 @NECKS.register_module(name="RPNWaymoLSTM")
 class RPNWaymoLSTM(_StreamRPNBase):
     """RPN with a ConvLSTM memory on the input canvas (the RPNWaymo /
-    PointPillarsLSTM pattern: necks/rpn_waymo.py + streaming_waymo.py)."""
+    PointPillarsLSTM pattern: necks/rpn_waymo.py + streaming_waymo.py).
+    Registered under both our name and the reference's ``RPNWaymo``
+    (necks/rpn_waymo.py) for config compatibility."""
 
     @nn.compact
     def __call__(self, x, prev_state=None, train: bool = True):

@@ -79,6 +79,40 @@ class StrobeModule(PointPillarsModule):
         return out
 
 
+class StrobeSectorModule(PolarStreamModule):
+    """STROBE with azimuth sectors: sweeps outer loop, sectors inner loop;
+    the RPNUber neck concatenates each sector's features with the SAME
+    sector's features from the previous sweep (the reference's
+    strobe_uber.py sector batches + rpn_uber prev-sweep concat). Detection
+    and segmentation run on the current (last) sweep's sectors."""
+
+    def __call__(self, example, train: bool = True):
+        points = example["points"]          # (B, S, P, C)
+        mask = example["points_mask"]       # (B, S, P)
+        s_sweeps = points.shape[1]
+        preds, segs = [], []
+        prev = [None] * self.n_sectors
+        for si in range(s_sweeps):
+            last = si == s_sweeps - 1
+            ctxs = []
+            for s in range(self.n_sectors):
+                pts_s, sel = self._rotate_to_sector(
+                    points[:, si], mask[:, si], s)
+                canvas = self._encode_sector(pts_s, sel, train)
+                x, c = self.neck(canvas, prev_sweep=prev[s], train=train)
+                ctxs.append(c)
+                if last:
+                    preds.append(self.bbox_head(x, train=train))
+                    if self.seg_head is not None:
+                        segs.append(self.seg_head(canvas, x, train=train)
+                                    ["seg_preds"])
+            prev = ctxs
+        out = {"sector_preds": preds}
+        if segs:
+            out["seg_preds"] = segs
+        return out
+
+
 class PolarStreamLSTMModule(PolarStreamModule):
     """PolarStream sector loop + recurrent channel memory between sectors
     (the PointPillarsLSTM pattern, streaming_waymo.py:100-123)."""
@@ -152,10 +186,34 @@ def _pillar_cfg(reader, neck, bbox_head, max_pillars):
 def _build_strobe(variant):
     def build(reader, neck, bbox_head, backbone=None, seg_head=None,
               part_head=None, pretrained=None, train_cfg=None,
-              test_cfg=None, max_pillars=32768, nsectors=1):
+              test_cfg=None, max_pillars=None, nsectors=1):
         from .detectors import CenterPointDetector
 
+        if max_pillars is None:
+            vg = bbox_head.get("voxel_generator")
+            mv = (dict(vg) if isinstance(vg, dict) else dict(vg or ())
+                  ).get("max_voxel_num", 32768) if vg else 32768
+            mv = mv[0] if isinstance(mv, (list, tuple)) else mv
+            max_pillars = max(1024, (-(-mv // max(nsectors, 1)) + 7) // 8 * 8)
         kw = _pillar_cfg(reader, neck, bbox_head, max_pillars)
+        if nsectors > 1:
+            # sector-streaming STROBE: sweeps x sectors with per-sector
+            # previous-sweep context (strobe_uber.py sector batches)
+            module = StrobeSectorModule(
+                seg_head_cfg=dict(seg_head) if seg_head else None,
+                n_sectors=nsectors,
+                voxel_shape=bbox_head.get("voxel_shape", "cylinder"),
+                **kw,
+            )
+            return PolarStreamDetector(
+                module,
+                code_weights=bbox_head.get("code_weights", [1.0] * 10),
+                weight=bbox_head.get("weight", 0.25),
+                dataset=bbox_head.get("dataset", "nuscenes"),
+                voxel_size=kw["voxel_size"],
+                test_cfg=dict(test_cfg or {}),
+                seg_weight=(seg_head or {}).get("weight", 2.0),
+            )
         module = StrobeModule(
             variant=variant,
             seg_head_cfg=dict(seg_head) if seg_head else None,
@@ -196,6 +254,7 @@ def _build_pplstm(use_lstm):
         module = cls(
             seg_head_cfg=dict(seg_head) if seg_head else None,
             n_sectors=n_sectors,
+            voxel_shape=bbox_head.get("voxel_shape", "cylinder"),
             **kw,
         )
         return PolarStreamDetector(
@@ -211,4 +270,7 @@ def _build_pplstm(use_lstm):
 
 
 DETECTORS.register_module(name="PointPillarsLSTM")(_build_pplstm(True))
+# the reference's han_method sector-LSTM detector name
+# (configs/nusc/pp/han_method/han_4_sectors.py: PointPillarsLSTMV1)
+DETECTORS.register_module(name="PointPillarsLSTMV1")(_build_pplstm(True))
 DETECTORS.register_module(name="PointPillarsNoLSTM")(_build_pplstm(False))

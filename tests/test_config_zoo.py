@@ -359,6 +359,80 @@ class TestCartesianMultiTaskConfigs:
         assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
         assert out["point_seg_labels"].shape == mask.shape
 
+    def test_han_4_sectors(self, rng):
+        """Cartesian 4-sector streaming LSTM pillars (reference
+        han_4_sectors.py: PointPillarsLSTMV1 + RPNWaymo + reduced grid)."""
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+        from partner_tpu.models.polarstream import cart_sector_spec
+
+        cfg = self._shrunk("nusc/pp/han_4_sectors.py")
+        assert cfg.model["type"] == "PointPillarsLSTMV1"
+        assert cfg.model["neck"]["type"] == "RPNWaymo"
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        assert det.module.voxel_shape == "cuboid"
+        assert det.module.n_sectors == 4
+
+        # reduced-grid spec: both dims halved, range clipped at 0
+        pr = cfg.voxel_generator["range"]
+        grid = tuple(int(round(
+            (pr[3 + i] - pr[i]) / cfg.voxel_generator["voxel_size"][i]))
+            for i in range(3))
+        sr, sg = cart_sector_spec(pr, grid, 4)
+        assert sr[3] == 0.0 and sr[4] == 0.0
+        assert sg[0] == grid[0] // 2 and sg[1] == grid[1] // 2
+
+        # sector rotation: every selected point lands in the canonical
+        # wedge [-pi, -pi/2) and inside the reduced cart bbox
+        boxes, pts, mask = self._cart_scene(rng, cfg)
+        for s in range(4):
+            pts_s, sel = det.module._rotate_to_sector(pts, mask, s)
+            x, y = np.asarray(pts_s[..., 0]), np.asarray(pts_s[..., 1])
+            selm = np.asarray(sel[0])
+            if selm.any():
+                phi = np.arctan2(y[0][selm], x[0][selm])
+                assert phi.max() < -np.pi / 2 + 1e-5
+                assert (x[0][selm] <= 1e-4).all()
+                assert (y[0][selm] <= 1e-4).all()
+
+        ex = {"points": pts, "points_mask": mask,
+              "points_label": jnp.asarray(
+                  rng.randint(0, 17, (1, pts.shape[1])).astype(np.int32))}
+        ex.update(_targets(cfg, boxes, nsectors=4))
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"])) and "seg_loss" in ld
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+
+    def test_strobe_4_sector(self, rng):
+        """Cartesian 4-sector STROBE: sweeps x sectors with per-sector
+        previous-sweep context (reference strobe_4_sector.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+
+        cfg = self._shrunk("nusc/pp/strobe_4_sector.py")
+        assert cfg.model["type"] == "STROBE"
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        assert det.module.n_sectors == 4
+        boxes, pts, mask = self._cart_scene(rng, cfg)
+        pts2 = jnp.stack([pts, pts], axis=1)
+        mask2 = jnp.stack([mask, mask], axis=1)
+        ex = {"points": pts2, "points_mask": mask2,
+              "points_label": jnp.asarray(
+                  rng.randint(0, 17, (1, pts.shape[1])).astype(np.int32))}
+        ex.update(_targets(cfg, boxes, nsectors=4))
+        variables = jax.jit(det.init)(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"])) and "seg_loss" in ld
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
+        assert out["point_seg_labels"].shape == (1, pts.shape[1])
+
     def test_strobe_1_sector(self, rng):
         import jax
         import jax.numpy as jnp
@@ -427,6 +501,52 @@ class TestWaymoPPConfigs:
 class TestTwoStageConfigs:
     """Two-stage RoI fine-tune ports (reference
     configs/waymo/voxelnet/two_stage/)."""
+
+    @pytest.mark.parametrize("rel", [
+        "waymo/pp/two_stage/"
+        "waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_6epoch.py",
+        "waymo/pp/two_stage/"
+        "waymo_centerpoint_pp_two_cls_two_pfn_stride1_two_stage_bev_6epoch"
+        ".py",
+    ])
+    def test_pp_two_stage_builds_and_steps(self, rng, rel):
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models import build_detector
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(CFG_DIR, rel))
+        vs = list(cfg.voxel_generator["voxel_size"])
+        vs[0] *= 9
+        vs[1] *= 9
+        fs = cfg.model["first_stage_cfg"]
+        for vg in (cfg.voxel_generator, cfg.bbox_head["voxel_generator"],
+                   fs["bbox_head"]["voxel_generator"]):
+            vg["voxel_size"] = list(vs)
+        fs["reader"]["voxel_size"] = tuple(vs)
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+
+        helper = TestCartesianMultiTaskConfigs()
+        boxes, pts, mask = helper._cart_scene(rng, cfg, nfeat=5)
+        boxes7 = np.concatenate([boxes[:, :6], boxes[:, -1:]], 1)
+        ex = {"points": pts, "points_mask": mask}
+        ex.update(_targets(cfg, boxes7))
+        m = len(boxes7)
+        gb = np.zeros((1, 16, 8), np.float32)
+        gb[0, :m, :7] = boxes7
+        gb[0, :m, 7] = 1.0
+        gm = np.zeros((1, 16), bool)
+        gm[0, :m] = True
+        ex["global_box"] = jnp.asarray(gb)
+        ex["global_box_mask"] = jnp.asarray(gm)
+
+        variables = det.init(jax.random.PRNGKey(0), ex)
+        ld, _ = det.loss(variables, ex, jax.random.PRNGKey(1))
+        assert np.isfinite(float(ld["loss"]))
+        assert "roi_cls_loss" in ld
+        out = det.predict(variables, ex)
+        assert np.all(np.isfinite(np.asarray(out["box3d_lidar"])))
 
     @pytest.mark.parametrize("rel,nsweeps", [
         ("waymo/two_stage/"
