@@ -101,7 +101,7 @@ model = dict(
     # for the redesign rationale); the gather-matmul sparse equivalent of the
     # reference's spconv backbone remains available as type="SpMiddleResNetFHD"
     backbone=dict(type="PolarDenseFHD", num_input_features=7, ds_factor=8,
-                  factorized=True),
+                  trunk2d=True),
     neck=dict(
         type="RPN",
         compute_dtype="bfloat16",

@@ -107,6 +107,43 @@ class DenseBasicBlock(nn.Module):
         return nn.relu(y.astype(self.dtype) + identity)
 
 
+class Dense2DBlock(nn.Module):
+    """2D 3x3 conv + BN + ReLU (trunk2d stage convs)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=jnp.float32)(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class Dense2DResBlock(nn.Module):
+    """Two 2D 3x3 convs with residual."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        identity = x
+        y = nn.Conv(self.features, (3, 3), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=jnp.float32)(y)
+        y = nn.relu(y).astype(self.dtype)
+        y = nn.Conv(self.features, (3, 3), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=jnp.float32)(y)
+        return nn.relu(y.astype(self.dtype) + identity)
+
+
 def scatter_canvas(feats, coords, mask, canvas_shape, z_pool, bev_pool,
                    dtype=jnp.float32):
     """Scatter-max voxel features into a dense pooled canvas.
@@ -159,6 +196,16 @@ class PolarDenseFHD(nn.Module):
     stage_b_blocks: int = 2  # residual blocks @ 1/8 res (C=128)
     compute_dtype: Any = jnp.bfloat16
     factorized: bool = False  # R(2+1)D conv decomposition in the blocks
+    # trunk2d folds z into channels right after the scatter and runs the
+    # whole trunk as 2D convs: (cz, cy, cx, C) -> (cy, cx, cz*C) ->
+    # 3x3 @ a2d_features -> res block -> strided 3x3 @ out_features ->
+    # res blocks -> BEV. Fewer/wider convs: ~1/3 the HBM traffic of the
+    # factorized-3D trunk at the bandwidth-bound 1/4-res stage (the 3D
+    # trunk re-reads the 94 MB canvas per conv+BN+relu pass); z mixing
+    # is global from the first conv instead of banded.
+    trunk2d: bool = False
+    a2d_features: int = 160   # stage-A width in trunk2d mode
+    out_features: int = 256   # BEV channels in trunk2d mode
 
     def _canvas_shape(self, input_shape):
         n_r, n_az, n_z = (int(s) for s in input_shape)
@@ -178,6 +225,20 @@ class PolarDenseFHD(nn.Module):
             nn.BatchNorm(momentum=0.99, epsilon=1e-3, dtype=jnp.float32,
                          name=f"stem_bn{i}")
             for i in range(len(self.stem_features))]
+        if self.trunk2d:
+            self.conv_a2d = Dense2DBlock(self.a2d_features, dtype=dt,
+                                         name="conv_a2d")
+            self.blocks_a2d = [
+                Dense2DResBlock(self.a2d_features, dtype=dt,
+                                name=f"block_a2d{i}")
+                for i in range(self.stage_a_blocks)]
+            self.conv_b2d = Dense2DBlock(self.out_features, stride=2,
+                                         dtype=dt, name="conv_b2d")
+            self.blocks_b2d = [
+                Dense2DResBlock(self.out_features, dtype=dt,
+                                name=f"block_b2d{i}")
+                for i in range(self.stage_b_blocks)]
+            return
         self.conv_a = DenseConvBlock(self.stem_features[-1], dtype=dt,
                                      factorized=self.factorized,
                                      name="conv_a")
@@ -207,6 +268,18 @@ class PolarDenseFHD(nn.Module):
         return x
 
     def _trunk(self, canvas, occ, train):
+        if self.trunk2d:
+            bb, cz, cy, cx, cc = canvas.shape
+            x = canvas.transpose(0, 2, 3, 1, 4).reshape(bb, cy, cx, cz * cc)
+            a = self.conv_a2d(x, train)
+            for blk in self.blocks_a2d:
+                a = blk(a, train)
+            b = self.conv_b2d(a, train)
+            for blk in self.blocks_b2d:
+                b = blk(b, train)
+            multi_scale = {"canvas": canvas, "occ": occ, "stage_a": a,
+                           "stage_b": b}
+            return b.astype(jnp.float32), multi_scale
         a = self.conv_a(canvas, train)
         for blk in self.blocks_a:
             a = blk(a, train)
