@@ -34,6 +34,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import __graft_entry__ as _ge_cache
+
+    _ge_cache._enable_compile_cache()
+
     from partner_tpu.models import build_detector
     from partner_tpu.ops import voxelize
     from partner_tpu.train.config import Config

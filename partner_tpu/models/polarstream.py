@@ -117,6 +117,82 @@ class PolarStreamModule(nn.Module):
         else:
             self.seg_head = None
 
+    def _point_azimuth(self, points):
+        if self.voxel_shape == "cuboid":
+            return jnp.arctan2(points[..., 1], points[..., 0])
+        return points[..., 1]
+
+    def _azimuth_origin(self):
+        return -np.pi if self.voxel_shape == "cuboid" else self.pc_range[1]
+
+    def sector_point_cap(self, n_points):
+        """Fixed per-sector point capacity for the compact buffers: an
+        even share plus 60% headroom for azimuth imbalance, padded to a
+        lane multiple."""
+        cap = int(np.ceil(n_points / self.n_sectors * 1.6))
+        return min(n_points, -(-cap // 128) * 128)
+
+    def _sector_buffers(self, points, mask):
+        """Partition the padded point buffer into compact per-sector
+        buffers with ONE stable sort, so each sector pass touches ~P/S
+        points instead of the whole buffer (the host-side split of the
+        reference's streaming voxelizer, done on device with fixed
+        shapes). Returns a list of (points_s, valid_s) of static size
+        ``sector_point_cap``; overflow beyond the cap is dropped, like
+        every other fixed-capacity buffer in the pipeline."""
+        b, p, c = points.shape
+        span = self.angle_span()
+        az0 = self._azimuth_origin()
+        phi = self._point_azimuth(points)
+        sec = jnp.clip(jnp.floor((phi - az0) / span), 0,
+                       self.n_sectors - 1).astype(jnp.int32)
+        sec = jnp.where(mask, sec, self.n_sectors)
+        order = jnp.argsort(sec, axis=-1, stable=True)
+        sorted_pts = jnp.take_along_axis(points, order[..., None], axis=1)
+        sorted_sec = jnp.take_along_axis(sec, order, axis=1)
+        counts = jax.vmap(
+            lambda ss: jnp.bincount(ss, length=self.n_sectors + 1)
+        )(sorted_sec)
+        offsets = jnp.concatenate(
+            [jnp.zeros((b, 1), counts.dtype),
+             jnp.cumsum(counts[:, :-1], axis=-1)], axis=-1)
+        cap = self.sector_point_cap(p)
+        idx = jnp.arange(cap)
+        # pad so a slice starting at any valid offset never clamps (a
+        # clamped dynamic_slice start would misalign the validity mask)
+        sorted_pts = jnp.pad(sorted_pts, ((0, 0), (0, cap), (0, 0)))
+
+        out = []
+        for s in range(self.n_sectors):
+            pts_s = jax.vmap(
+                lambda sp, off: jax.lax.dynamic_slice(sp, (off, 0), (cap, c))
+            )(sorted_pts, offsets[:, s])
+            valid = idx[None, :] < jnp.minimum(counts[:, s], cap)[:, None]
+            out.append((pts_s, valid))
+        return out
+
+    def _rotate_points(self, points, valid, s):
+        """Re-reference a compact sector buffer to the canonical frame."""
+        span = self.angle_span()
+        if self.voxel_shape == "cuboid":
+            x, y = points[..., 0], points[..., 1]
+            rho = jnp.hypot(x, y)
+            new_phi = jnp.arctan2(y, x) - s * span
+            cols = [(rho * jnp.cos(new_phi))[..., None],
+                    (rho * jnp.sin(new_phi))[..., None],
+                    points[..., 2:3]]
+            if points.shape[-1] > 3:
+                cols.append(points[..., 3:])
+            return jnp.concatenate(cols, axis=-1), valid
+        rho = points[..., 0]
+        new_phi = points[..., 1] - s * span
+        cols = [rho[..., None], new_phi[..., None], points[..., 2:3],
+                (rho * jnp.cos(new_phi))[..., None],
+                (rho * jnp.sin(new_phi))[..., None]]
+        if points.shape[-1] > 5:
+            cols.append(points[..., 5:])
+        return jnp.concatenate(cols, axis=-1), valid
+
     def _rotate_to_sector(self, points, mask, s):
         """Select sector s's points and re-reference them to sector 0.
 
@@ -187,8 +263,13 @@ class PolarStreamModule(nn.Module):
         points = example["points"]
         mask = example["points_mask"]
         preds, segs, ctx = [], [], None
+        bufs = (self._sector_buffers(points, mask)
+                if self.n_sectors > 1 else None)
         for s in range(self.n_sectors):
-            pts_s, sel = self._rotate_to_sector(points, mask, s)
+            if bufs is not None:
+                pts_s, sel = self._rotate_points(*bufs[s], s)
+            else:
+                pts_s, sel = self._rotate_to_sector(points, mask, s)
             canvas = self._encode_sector(pts_s, sel, train)
             if self.n_sectors == 1:
                 # monolithic: cyclic azimuth is handled by the neck itself

@@ -95,9 +95,14 @@ class StrobeSectorModule(PolarStreamModule):
         for si in range(s_sweeps):
             last = si == s_sweeps - 1
             ctxs = []
+            bufs = (self._sector_buffers(points[:, si], mask[:, si])
+                    if self.n_sectors > 1 else None)
             for s in range(self.n_sectors):
-                pts_s, sel = self._rotate_to_sector(
-                    points[:, si], mask[:, si], s)
+                if bufs is not None:
+                    pts_s, sel = self._rotate_points(*bufs[s], s)
+                else:
+                    pts_s, sel = self._rotate_to_sector(
+                        points[:, si], mask[:, si], s)
                 canvas = self._encode_sector(pts_s, sel, train)
                 x, c = self.neck(canvas, prev_sweep=prev[s], train=train)
                 ctxs.append(c)
@@ -127,8 +132,13 @@ class PolarStreamLSTMModule(PolarStreamModule):
         mask = example["points_mask"]
         preds, segs, ctx = [], [], None
         lstm_out, state = None, None
+        bufs = (self._sector_buffers(points, mask)
+                if self.n_sectors > 1 else None)
         for s in range(self.n_sectors):
-            pts_s, sel = self._rotate_to_sector(points, mask, s)
+            if bufs is not None:
+                pts_s, sel = self._rotate_points(*bufs[s], s)
+            else:
+                pts_s, sel = self._rotate_to_sector(points, mask, s)
             canvas = self._encode_sector(pts_s, sel, train)
             if lstm_out is not None:
                 canvas = canvas + lstm_out[:, None, None, :]
