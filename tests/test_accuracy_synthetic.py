@@ -68,3 +68,55 @@ def test_overfit_then_ap(rng):
           f"loss {loss0:.2f}->{loss1:.2f}")
     assert ap >= 0.5, f"overfit AP too low: {ap}"
     assert aph >= 0.3, f"overfit APH too low: {aph}"
+
+
+@pytest.mark.slow
+def test_overfit_then_ap_trunk2d(rng):
+    """Same train -> AP gate through the flagship's dense z-folded 2D
+    trunk (PolarDenseFHD trunk2d) — accuracy evidence for the backbone
+    the full-scale flagship actually runs."""
+    cfg = testing.tiny_model_cfg()
+    cfg["backbone"] = dict(type="PolarDenseFHD", num_input_features=5,
+                           trunk2d=True, a2d_features=48, out_features=64,
+                           compute_dtype="float32")
+    det = build_detector(cfg, test_cfg=dict(
+        score_threshold=0.1,
+        post_center_limit_range=[-40, -40, -5, 40, 40, 5],
+        nms=dict(nms_pre_max_size=256, nms_post_max_size=16,
+                 nms_iou_threshold=0.7),
+    ))
+    example = testing.make_example(rng, b=1, n_points=1500, cap=2048)
+
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), example)
+    steps = 220
+    tx = build_one_cycle_optimizer(lr_max=3e-3, total_steps=steps)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(det, tx))
+
+    key = jax.random.PRNGKey(1)
+    loss0 = None
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, example, sub)
+        if i == 0:
+            loss0 = float(metrics["loss"])
+    loss1 = float(metrics["loss"])
+    assert np.isfinite(loss1) and loss1 < loss0 * 0.5, (loss0, loss1)
+
+    out = det.predict(
+        {"params": state.params, "batch_stats": state.batch_stats}, example)
+    m = np.asarray(out["mask"][0])
+    boxes = np.asarray(out["box3d_lidar"][0])[m]
+    scores = np.asarray(out["scores"][0])[m]
+    gt_boxes = np.asarray(example["global_box"][0])
+    gt_boxes = gt_boxes[gt_boxes[:, 7] > 0][:, :7]
+    detections = {"scene0": {
+        "box3d_lidar": boxes, "scores": scores,
+        "label_preds": np.zeros(len(boxes), np.int64)}}
+    gts = {"scene0": {"gt_boxes": gt_boxes,
+                      "gt_classes": np.zeros(len(gt_boxes), np.int64)}}
+    metrics = dm.waymo_ap_aph(detections, gts, ["Vehicle"])
+    ap = metrics["AP/Vehicle"]
+    print(f"trunk2d overfit AP={ap:.3f} "
+          f"loss {loss0:.2f}->{loss1:.2f}")
+    assert ap >= 0.5, f"trunk2d overfit AP too low: {ap}"
