@@ -200,9 +200,8 @@ def _build_strobe(variant):
         from .detectors import CenterPointDetector
 
         if max_pillars is None:
-            vg = bbox_head.get("voxel_generator")
-            mv = (dict(vg) if isinstance(vg, dict) else dict(vg or ())
-                  ).get("max_voxel_num", 32768) if vg else 32768
+            vg = dict(bbox_head.get("voxel_generator") or {})
+            mv = vg.get("max_voxel_num", 32768)
             mv = mv[0] if isinstance(mv, (list, tuple)) else mv
             max_pillars = max(1024, (-(-mv // max(nsectors, 1)) + 7) // 8 * 8)
         kw = _pillar_cfg(reader, neck, bbox_head, max_pillars)
