@@ -109,7 +109,14 @@ def circle_nms(centers, scores, min_radius, post_max_size):
     """Greedy center-distance NMS — the reference's numba circle-NMS
     (/root/reference/det3d/core/utils/circle_nms_jit.py, wrapped at
     core/utils/center_utils.py:82-91): suppress any lower-scored box whose
-    center lies within ``min_radius`` of a kept box's center.
+    center lies too close to a kept box's center.
+
+    NOTE on units (matches the reference kernel exactly): the reference
+    compares SQUARED distance against the UN-squared threshold
+    (``dist = dx**2 + dy**2; if dist <= thresh``, circle_nms_jit.py:97-101),
+    so ``min_radius`` is in squared-meters — the effective radius is
+    ``sqrt(min_radius)``. Reference-tuned config values (e.g. nuScenes
+    min_radius=[4,12,10,1,0.85,0.175]) rely on this.
 
     centers: (N, 2); padded rows must carry score <= NEG_INF.
     Returns (keep_idx (K,), keep_mask (K,))."""
@@ -120,7 +127,7 @@ def circle_nms(centers, scores, min_radius, post_max_size):
     valid = s[order] > NEG_INF / 2
 
     d2 = jnp.sum((c[:, None, :] - c[None, :, :]) ** 2, axis=-1)
-    suppress_mat = (d2 <= min_radius ** 2) & valid[:, None] & valid[None, :]
+    suppress_mat = (d2 <= min_radius) & valid[:, None] & valid[None, :]
     kept = _greedy_keep(suppress_mat, valid)
     pick = jnp.argsort(~kept, stable=True)[:post_max_size]
     return order[pick].astype(jnp.int32), kept[pick]

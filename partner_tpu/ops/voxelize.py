@@ -191,8 +191,21 @@ def points_to_bev(points, voxel_size, pc_range, with_reflectivity=False,
 
     Returns (n_z + 1 [+1], H, W): per-height-slice normalized max height,
     a last channel of per-cell point counts, and (optionally) a
-    reflectivity channel carrying the intensity of each cell's highest
-    point.
+    reflectivity channel.
+
+    Parity notes vs. the reference kernel:
+    - ``max_voxels`` matches the reference's early ``break``
+      (bev_ops.py:46-50): once the (max_voxels+1)-th DISTINCT occupied 3-D
+      cell would be created, the kernel stops — all later points (even in
+      already-open cells) are dropped. We truncate to the same point
+      prefix.
+    - reflectivity DEVIATES deliberately: the reference writes the
+      intensity of whichever point last improved any z-slice's height max
+      at (y, x) — an iteration-order-dependent value (bev_ops.py:55-62).
+      We write the intensity of the column's overall highest point, which
+      is deterministic and coincides with the reference whenever the
+      column's global-highest point is processed last among its slice
+      maxima.
     """
     voxel_size = np.asarray(voxel_size, dtype=points.dtype)
     pc_range = np.asarray(pc_range, dtype=points.dtype)
@@ -203,13 +216,18 @@ def points_to_bev(points, voxel_size, pc_range, with_reflectivity=False,
     ok = np.all((coords >= 0) & (coords < grid), axis=1)
     pts, coords = points[ok], coords[ok]
 
+    lin3 = (coords[:, 2] * ny + coords[:, 1]) * nx + coords[:, 0]
+    _, first_idx = np.unique(lin3, return_index=True)
+    if len(first_idx) > max_voxels:
+        cutoff = np.sort(first_idx)[max_voxels]
+        pts, coords, lin3 = pts[:cutoff], coords[:cutoff], lin3[:cutoff]
+
     shape = [nz + 1 + int(with_reflectivity), ny, nx]
     bev = np.zeros(shape, dtype=points.dtype)
 
     height_lowers = np.linspace(pc_range[2], pc_range[5], nz, endpoint=False)
     hnorm = (pts[:, 2] - height_lowers[coords[:, 2]]) / voxel_size[2]
 
-    lin3 = (coords[:, 2] * ny + coords[:, 1]) * nx + coords[:, 0]
     flat = np.zeros(nz * ny * nx, dtype=points.dtype)
     np.maximum.at(flat, lin3, hnorm)
     bev[:nz] = flat.reshape(nz, ny, nx)
@@ -219,10 +237,10 @@ def points_to_bev(points, voxel_size, pc_range, with_reflectivity=False,
                                                            ).astype(points.dtype)
 
     if with_reflectivity and pts.shape[1] > 3:
-        # intensity of each cell's highest point: sort so the max-height
-        # point of every cell lands last, then scatter
-        order = np.lexsort((hnorm, lin3))
-        refl = np.zeros(nz * ny * nx, dtype=points.dtype)
-        refl[lin3[order]] = pts[order, 3]
-        bev[-2] = refl.reshape(nz, ny, nx).max(axis=0)
+        # intensity of each column's highest point: sort so the max-z point
+        # of every (y, x) column lands last, then scatter
+        order = np.lexsort((pts[:, 2], lin2))
+        refl = np.zeros(ny * nx, dtype=points.dtype)
+        refl[lin2[order]] = pts[order, 3]
+        bev[-2] = refl.reshape(ny, nx)
     return bev

@@ -41,14 +41,14 @@ def save_checkpoint(work_dir, state, meta=None, keep=None):
                         json.dumps(meta).encode())
     rio.write_bytes(_join(work_dir, "latest"),
                     f"ckpt_{step:08d}".encode())
-    if keep and "://" not in work_dir:
+    if keep:
+        # prune via the filesystem abstraction so remote work_dirs honor
+        # `keep` too (ADVICE r1: remote dirs must not grow unboundedly)
         ckpts = sorted(
-            d for d in os.listdir(work_dir) if d.startswith("ckpt_")
+            d for d in rio.listdir(work_dir) if d.startswith("ckpt_")
         )
         for old in ckpts[:-keep]:
-            import shutil
-
-            shutil.rmtree(os.path.join(work_dir, old), ignore_errors=True)
+            rio.delete_tree(_join(work_dir, old))
     return path
 
 

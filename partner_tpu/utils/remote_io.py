@@ -46,6 +46,11 @@ class FileSystem:
     def listdir(self, path: str) -> List[str]:
         raise NotImplementedError
 
+    def delete_tree(self, path: str) -> None:
+        """Remove a directory/prefix recursively (used by checkpoint
+        ``keep`` pruning). Best-effort; missing paths are not an error."""
+        raise NotImplementedError
+
 
 class LocalFileSystem(FileSystem):
     def read_bytes(self, path):
@@ -67,6 +72,11 @@ class LocalFileSystem(FileSystem):
 
     def listdir(self, path):
         return sorted(os.listdir(path))
+
+    def delete_tree(self, path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
 
 class MemoryFileSystem(FileSystem):
@@ -92,6 +102,12 @@ class MemoryFileSystem(FileSystem):
         names = {k[len(prefix):].split("/")[0]
                  for k in self.blobs if k.startswith(prefix)}
         return sorted(names)
+
+    def delete_tree(self, path):
+        prefix = path.rstrip("/") + "/"
+        for k in [k for k in self.blobs
+                  if k == path or k.startswith(prefix)]:
+            del self.blobs[k]
 
 
 _LOCAL = LocalFileSystem()
@@ -138,6 +154,11 @@ def makedirs(path: str) -> None:
 def listdir(path: str) -> List[str]:
     fs, p = resolve(path)
     return fs.listdir(p)
+
+
+def delete_tree(path: str) -> None:
+    fs, p = resolve(path)
+    fs.delete_tree(p)
 
 
 def open_read(path: str) -> io.BytesIO:

@@ -80,13 +80,15 @@ def test_corners_3d_shape(rng):
 
 
 def _circle_nms_oracle(centers, scores, min_radius, post):
+    # Mirrors the reference numba kernel (circle_nms_jit.py:97-101):
+    # SQUARED distance compared against the UN-squared threshold.
     order = np.argsort(-scores)
     kept = []
     for i in order:
         if not np.isfinite(scores[i]):
             continue
         ok = all((centers[i, 0] - centers[j, 0]) ** 2
-                 + (centers[i, 1] - centers[j, 1]) ** 2 > min_radius ** 2
+                 + (centers[i, 1] - centers[j, 1]) ** 2 > min_radius
                  for j in kept)
         if ok:
             kept.append(i)

@@ -81,9 +81,10 @@ def run_frame(variables, predict, meta, cart_points, score_threshold=0.3):
 
     from partner_tpu.core import box_np_ops
 
-    polar = box_np_ops.transform_points(cart_points[:, :3],
-                                        meta["voxel_shape"])
-    feats = np.concatenate([polar, cart_points[:, 3:]], axis=1)
+    # transform the FULL feature array so extras land in the layout's
+    # proper slots (cylinder: [rho,phi,z,x,y,*extra]; cuboid:
+    # [x,y,z,*extra,rho,phi] — extras sit BEFORE rho/phi, box_np_ops:99)
+    feats = box_np_ops.transform_points(cart_points, meta["voxel_shape"])
     feats = feats[:, :meta["n_feat"]].astype(np.float32)
     if feats.shape[1] < meta["n_feat"]:
         feats = np.pad(feats,
