@@ -80,11 +80,15 @@ class WaymoDataset(PointCloudDataset):
             self.NumPointFeatures += 1
 
     def evaluation(self, detections, output_dir=None, testset=False):
-        """Writes the devkit bin AND computes local AP/APH (BEV IoU 0.7/0.5
-        greedy matching — see eval/detection_metrics.py; the reference defers
-        entirely to the external devkit, waymo/waymo.py:94-104)."""
+        """Writes the devkit bin AND computes official-protocol LEVEL_1 /
+        LEVEL_2 AP/APH with range breakdowns (eval/waymo_protocol.py —
+        Hungarian matching per score cutoff, difficulty from num_points /
+        labeler flags; the reference defers entirely to the external
+        devkit, waymo/waymo.py:94-104). The quick greedy AP/APH of
+        eval/detection_metrics.py is reported under legacy keys."""
         from ..eval.detection_metrics import gts_from_infos, waymo_ap_aph
         from ..eval.waymo import create_pd_detection
+        from ..eval.waymo_protocol import waymo_official_metrics
 
         create_pd_detection(detections, self.infos, output_dir)
         if testset:
@@ -92,7 +96,9 @@ class WaymoDataset(PointCloudDataset):
         classes = list(self._class_names) or ["Vehicle", "Pedestrian",
                                               "Cyclist"]
         gts = gts_from_infos(self.infos, classes)
-        metrics = waymo_ap_aph(detections, gts, classes)
+        metrics = waymo_official_metrics(detections, gts, classes)
+        legacy = waymo_ap_aph(detections, gts, classes)
+        metrics.update({f"greedy/{k}": v for k, v in legacy.items()})
         return metrics, None
 
 
@@ -132,6 +138,7 @@ class NuScenesDataset(PointCloudDataset):
         the trainer/dist_test consume (trainer.py:566, dist_test.py:224).
         """
         from ..eval.detection_metrics import gts_from_infos, nusc_map_nds
+        from ..eval.nusc_protocol import nusc_official_metrics
         from ..eval.nuscenes import write_nusc_results
         from ..eval.seg_metrics import PanopticEval, fast_hist, per_class_iou
 
@@ -141,7 +148,13 @@ class NuScenesDataset(PointCloudDataset):
         if detections and not testset:
             classes = list(self._class_names) or list(self.CLASSES)
             gts = gts_from_infos(self.infos, classes)
-            det_metrics = nusc_map_nds(detections, gts, classes)
+            # devkit-protocol mAP/NDS (101-recall-point interpolation with
+            # the 0.1 recall/precision clipping, class-range filtering,
+            # per-class TP errors — eval/nusc_protocol.py); the quick
+            # greedy approximation stays under legacy keys.
+            det_metrics = nusc_official_metrics(detections, gts, classes)
+            legacy = nusc_map_nds(detections, gts, classes)
+            det_metrics.update({f"greedy/{k}": v for k, v in legacy.items()})
             det_metrics["results_path"] = path
 
         seg_miou = None

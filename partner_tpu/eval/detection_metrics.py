@@ -301,15 +301,28 @@ def nusc_map_nds(detections, gts, class_names,
 
 
 def gts_from_infos(infos, class_names):
-    """Build the {token: {gt_boxes, gt_classes}} dict from info pkls."""
+    """Build the {token: {gt_boxes, gt_classes, num_points, difficulty}}
+    dict from info pkls. num_points/difficulty (consumed by the official
+    Waymo LEVEL_1/LEVEL_2 protocol, eval/waymo_protocol.py) default to
+    -1 / 0 when the info lacks them."""
     gts = {}
     for info in infos:
         token = info.get("token", "")
         boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))))
         names = np.asarray(info.get("gt_names", []))
+        n = len(boxes)
+        npts = np.asarray(info.get("num_points_in_gt",
+                                   -np.ones((n,), np.int64)), np.int64)
+        diff = np.asarray(info.get("difficulty", np.zeros((n,), np.int64)),
+                          np.int64)
         cls = np.array(
-            [class_names.index(n) if n in class_names else -1 for n in names],
+            [class_names.index(nm) if nm in class_names else -1
+             for nm in names],
             np.int64)
         keep = cls >= 0
-        gts[token] = {"gt_boxes": boxes[keep], "gt_classes": cls[keep]}
+        gts[token] = {"gt_boxes": boxes[keep], "gt_classes": cls[keep],
+                      "num_points": npts[keep] if len(npts) == n
+                      else -np.ones((int(keep.sum()),), np.int64),
+                      "difficulty": diff[keep] if len(diff) == n
+                      else np.zeros((int(keep.sum()),), np.int64)}
     return gts

@@ -16,6 +16,7 @@ import pytest
 
 from partner_tpu import testing
 from partner_tpu.eval import detection_metrics as dm
+from partner_tpu.eval import waymo_protocol as wp
 from partner_tpu.models import build_detector
 from partner_tpu.train.optim import build_one_cycle_optimizer
 from partner_tpu.train.train_state import create_train_state, make_train_step
@@ -68,6 +69,21 @@ def test_overfit_then_ap(rng):
           f"loss {loss0:.2f}->{loss1:.2f}")
     assert ap >= 0.5, f"overfit AP too low: {ap}"
     assert aph >= 0.3, f"overfit APH too low: {aph}"
+
+    # official-protocol gate (eval/waymo_protocol.py): Hungarian matching
+    # per score cutoff + LEVEL difficulty + recall-delta-capped AP. On an
+    # n_gt-box scene recall has only n_gt distinct values, so the capped
+    # integral is bounded by 0.05 * n_gt even for perfect detections —
+    # gate against half that ceiling rather than an absolute number.
+    gts_l = {"scene0": {**gts["scene0"],
+                        "num_points": np.full(len(gt_boxes), 100),
+                        "difficulty": np.zeros(len(gt_boxes), np.int64)}}
+    official = wp.waymo_official_metrics(detections, gts_l, ["Vehicle"])
+    ceiling = 0.05 * min(len(gt_boxes), 20)
+    print(f"official mAPH/L2={official['mAPH/L2']:.3f} "
+          f"(capped ceiling {ceiling:.2f})")
+    assert official["mAPH/L2"] >= 0.5 * ceiling, official
+    assert official["mAP/L1"] >= 0.5 * ceiling, official
 
 
 @pytest.mark.slow
