@@ -440,7 +440,13 @@ class Reformat:
         pass
 
     def __call__(self, res, info):
-        bundle = dict(metadata=res.get("metadata"))
+        meta = res.get("metadata")
+        if isinstance(meta, dict) and "n_key_points" in res["lidar"]:
+            # seg evaluation aligns per-point predictions with the gt
+            # label file, which covers only the key frame (sweeps are
+            # concatenated after it, loading.py multi-sweep contract)
+            meta = dict(meta, n_key_points=res["lidar"]["n_key_points"])
+        bundle = dict(metadata=meta)
         voxels = res["lidar"].get("voxels", {})
         bundle["points"] = res["lidar"]["points"]
         bundle["grid_size"] = voxels.get("shape")

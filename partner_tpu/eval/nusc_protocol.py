@@ -84,6 +84,15 @@ def accumulate(dets, gts_by_token, cname, dist_th, with_tp_errors):
     npos = sum(len(g["xy"]) for g in gts_by_token.values())
     if npos == 0:
         return None
+    if not dets:
+        # gts but no predictions of this class: zero curve everywhere
+        md = {"recall": np.linspace(0, 1, N_RECALL_BINS),
+              "precision": np.zeros(N_RECALL_BINS),
+              "confidence": np.zeros(N_RECALL_BINS), "npos": npos}
+        if with_tp_errors:
+            for k in ("trans", "scale", "orient", "vel"):
+                md[k + "_err"] = np.ones(N_RECALL_BINS)
+        return md
     order = np.argsort([-d["score"] for d in dets], kind="stable")
     taken = defaultdict(set)
     tp, fp, conf = [], [], []

@@ -198,7 +198,8 @@ def waymo_official_metrics(detections, gts, class_names, iou_thresholds=None,
                 for k, cut in enumerate(cutoffs):
                     keep = ds >= cut
                     match = _hungarian_match(iou[keep], thr)
-                    mdiff = np.where(match >= 0, gd[match], 0)
+                    mdiff = (np.where(match >= 0, gd[match], 0)
+                             if len(gd) else np.zeros(len(match), np.int64))
                     h = np.zeros(len(match))
                     if (match >= 0).any():
                         ok = match >= 0

@@ -159,6 +159,13 @@ class VoxelNetModule(nn.Module):
 class Detector:
     """Pure driver around the flax module: init / forward plumbing."""
 
+    # preferred eval-time input contract: "voxels" = features/coords/
+    # voxel_mask (device-voxelized upstream), "points" = raw padded
+    # points/points_mask (the detector voxelizes/sectorizes on device).
+    # tools/dist_test.py routes batches by this (reference collects every
+    # model through one example dict, tools/dist_test.py:161-216).
+    input_kind = "voxels"
+
     def __init__(self, module: VoxelNetModule, test_cfg=None):
         self.module = module
         self.test_cfg = dict(test_cfg or {})
@@ -395,7 +402,10 @@ def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
     )
     tc = dict(test_cfg or {})
     tc.setdefault("iou_factor", bbox_head["HEAD_CONFIG"].get("iou_factor", 1))
-    return E2EDetector(module, criterion, tc)
+    det = E2EDetector(module, criterion, tc)
+    if dict(backbone).get("type") == "PolarDenseFHD":
+        det.input_kind = "points"  # dense backbone's point fast path
+    return det
 
 
 @DETECTORS.register_module(name="VoxelNet")
@@ -444,7 +454,7 @@ def build_voxelnet(reader, backbone, neck, bbox_head, seg_head=None,
         bev_pspec=bev_pspec,
     )
     src = bbox_head if bbox_head is not None else {}
-    return CenterPointDetector(
+    det = CenterPointDetector(
         module,
         code_weights=src.get("code_weights", [1.0] * 10),
         weight=src.get("weight", 0.25),
@@ -454,3 +464,6 @@ def build_voxelnet(reader, backbone, neck, bbox_head, seg_head=None,
         seg_weight=(seg_head or {}).get("weight", 1.0),
         voxel_shape=spec_src.get("voxel_shape", "cylinder"),
     )
+    if dict(backbone).get("type") == "PolarDenseFHD":
+        det.input_kind = "points"  # dense backbone's point fast path
+    return det

@@ -289,7 +289,7 @@ def build_point_pillars(reader, neck, bbox_head, backbone=None,
         max_pillars=max_pillars,
         out_size_factor=osf,
     )
-    return CenterPointDetector(
+    det = CenterPointDetector(
         module,
         code_weights=bbox_head.get("code_weights", [1.0] * 10),
         weight=bbox_head.get("weight", 0.25),
@@ -299,3 +299,5 @@ def build_point_pillars(reader, neck, bbox_head, backbone=None,
         seg_weight=(seg_head or {}).get("weight", 1.0),
         voxel_shape=bbox_head.get("voxel_shape", "cylinder"),
     )
+    det.input_kind = "points"  # PointPillarsModule pillarizes on device
+    return det

@@ -343,6 +343,8 @@ def rotate_boxes_to_global(boxes, shift):
 class PolarStreamDetector(Detector):
     """Driver: per-sector loss and streaming predict with stateful NMS."""
 
+    input_kind = "points"  # sector partitioning happens on device
+
     def __init__(self, module, code_weights, weight, dataset="nuscenes",
                  voxel_size=None, test_cfg=None, carry_size=64,
                  carry_margin=0.2, seg_weight=2.0):

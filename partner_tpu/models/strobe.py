@@ -228,7 +228,7 @@ def _build_strobe(variant):
             seg_head_cfg=dict(seg_head) if seg_head else None,
             **kw,
         )
-        return CenterPointDetector(
+        det = CenterPointDetector(
             module,
             code_weights=bbox_head.get("code_weights", [1.0] * 10),
             weight=bbox_head.get("weight", 0.25),
@@ -238,6 +238,8 @@ def _build_strobe(variant):
             seg_weight=(seg_head or {}).get("weight", 1.0),
             voxel_shape=bbox_head.get("voxel_shape", "cylinder"),
         )
+        det.input_kind = "points"  # STROBE pillarizes sweeps on device
+        return det
     return build
 
 
