@@ -33,6 +33,89 @@ from partner_tpu.core import box_np_ops
 from partner_tpu.data.pipeline import get_obj, read_file, read_single_waymo
 
 
+def _object_name(o):
+    """Class name of a decoded anno object: real converter output carries
+    the waymo type int under 'label' ('name' is the tracking uuid,
+    waymo_decoder extract_objects); hand-built fixtures may carry the
+    class string directly under 'name'."""
+    from partner_tpu.data.waymo_decoder import NAME_BY_TYPE
+
+    name = o.get("name", "")
+    if isinstance(name, str) and name in NAME_BY_TYPE.values():
+        return name
+    label = o.get("label")
+    if isinstance(label, (int, np.integer)):
+        return NAME_BY_TYPE.get(int(label), "UNKNOWN")
+    return str(name)
+
+
+def _read_tfrecord(path):
+    """Raw records of a TFRecord file — pure-python framing reader
+    (8-byte LE length + 4-byte masked crc + payload + 4-byte crc); no
+    TensorFlow needed, CRCs are not verified."""
+    import struct
+
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                return
+            (length,) = struct.unpack("<Q", head)
+            f.read(4)  # length crc
+            payload = f.read(length)
+            f.read(4)  # payload crc
+            yield payload
+
+
+def waymo_convert(record_path, root_path, split="train"):
+    """Waymo TFRecords (or a pickled fake-frame list) -> per-frame
+    lidar/anno pkls in the layout `waymo_data_prep` consumes.
+
+    Equivalent of /root/reference/det3d/datasets/waymo/
+    waymo_converter.py:25-71. Real `.tfrecord` inputs need the
+    `waymo_open_dataset` proto package (imported lazily) for Frame
+    parsing — the TFRecord container itself is read with a pure-python
+    framing reader, so TensorFlow is never required. `.pkl` inputs
+    (a pickled list of duck-typed frame objects) exercise the identical
+    decode path for tests and TF-free environments.
+    """
+    import glob
+
+    from partner_tpu.data import waymo_decoder
+
+    lidar_dir = os.path.join(root_path, split, "lidar")
+    anno_dir = os.path.join(root_path, split, "annos")
+    os.makedirs(lidar_dir, exist_ok=True)
+    os.makedirs(anno_dir, exist_ok=True)
+
+    fnames = sorted(glob.glob(record_path))
+    if not fnames:
+        raise FileNotFoundError(f"no records match {record_path!r}")
+    n_frames = 0
+    for seq_id, fname in enumerate(fnames):
+        if fname.endswith(".pkl"):
+            with open(fname, "rb") as f:
+                frames = pickle.load(f)
+        else:
+            from waymo_open_dataset import dataset_pb2  # lazy; proto only
+
+            frames = []
+            for payload in _read_tfrecord(fname):
+                fr = dataset_pb2.Frame()
+                fr.ParseFromString(payload)
+                frames.append(fr)
+        for frame_id, frame in enumerate(frames):
+            name = f"seq_{seq_id}_frame_{frame_id}.pkl"
+            with open(os.path.join(lidar_dir, name), "wb") as f:
+                pickle.dump(waymo_decoder.decode_frame(frame, frame_id), f)
+            with open(os.path.join(anno_dir, name), "wb") as f:
+                pickle.dump(waymo_decoder.decode_annos(frame, frame_id), f)
+            n_frames += 1
+    print(f"converted {n_frames} frames from {len(fnames)} records "
+          f"-> {lidar_dir}")
+    return lidar_dir
+
+
 def waymo_data_prep(root_path, split="train", nsweeps=1, max_sweeps=0):
     """Build info pkl from converted waymo frame/anno pkls.
 
@@ -60,10 +143,11 @@ def waymo_data_prep(root_path, split="train", nsweeps=1, max_sweeps=0):
                                for o in objs])
                      if objs else np.zeros((0, 9), np.float32))
             info["gt_boxes"] = boxes
-            info["gt_names"] = np.asarray([o.get("name", o.get("label", ""))
-                                           for o in objs])
+            info["gt_names"] = np.asarray([_object_name(o) for o in objs])
             info["difficulty"] = np.asarray(
-                [o.get("difficulty", 0) for o in objs], np.int32)
+                [o.get("difficulty",
+                       o.get("detection_difficulty_level", 0))
+                 for o in objs], np.int32)
             info["num_points_in_gt"] = np.asarray(
                 [o.get("num_points", -1) for o in objs], np.int32)
 
@@ -197,6 +281,12 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    c = sub.add_parser("waymo_convert")
+    c.add_argument("--record_path", required=True,
+                   help="glob of TFRecord files (or fake-frame pkls)")
+    c.add_argument("--root_path", required=True)
+    c.add_argument("--split", default="train")
+
     w = sub.add_parser("waymo_data_prep")
     w.add_argument("--root_path", required=True)
     w.add_argument("--split", default="train")
@@ -216,7 +306,9 @@ def main():
     g.add_argument("--used_classes", nargs="*", default=None)
 
     args = p.parse_args()
-    if args.cmd == "waymo_data_prep":
+    if args.cmd == "waymo_convert":
+        waymo_convert(args.record_path, args.root_path, args.split)
+    elif args.cmd == "waymo_data_prep":
         waymo_data_prep(args.root_path, args.split, args.nsweeps,
                         args.max_sweeps)
     elif args.cmd == "nuscenes_data_prep":
