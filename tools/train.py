@@ -27,6 +27,15 @@ def parse_args():
     p.add_argument("--total_steps", type=int, default=None)
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     p.add_argument("--max_points", type=int, default=200000)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override samples_per_gpu * local_device_count")
+    p.add_argument("--validate", action="store_true",
+                   help="run val-set evaluation at epoch boundaries (the "
+                        "reference Trainer.val workflow, trainer.py:503-582)")
+    p.add_argument("--eval_interval", type=int, default=None,
+                   help="epochs between validations (default: config "
+                        "eval_interval, else 1)")
+    p.add_argument("--eval_max_frames", type=int, default=None)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY 5.2 sanitizer mode)")
     p.add_argument("--profile_dir", default=None,
@@ -89,8 +98,10 @@ def main():
 
     det = build_detector(cfg.model, cfg.get("train_cfg"), cfg.get("test_cfg"))
     dataset = build_dataset(dict(cfg.data["train"]))
+    batch_size = args.batch_size or (
+        cfg.data["samples_per_gpu"] * jax.local_device_count())
     loader = build_dataloader(
-        dataset, cfg.data["samples_per_gpu"] * jax.local_device_count(),
+        dataset, batch_size,
         workers_per_gpu=cfg.data.get("workers_per_gpu", 4),
         max_points=args.max_points,
     )
@@ -186,6 +197,10 @@ def main():
     timer = IterTimer()
     rng = jax.random.PRNGKey(args.seed + 1)
 
+    eval_interval = args.eval_interval or cfg.get("eval_interval", 1)
+    val_dataset = None
+    val_kind = val_predict = _evaluate = None
+
     step_i = start_step
     epoch = step_i // max(steps_per_epoch, 1)
     while step_i < total_steps:
@@ -232,6 +247,36 @@ def main():
             keep=dict(cfg.get("checkpoint_config", {})).get("keep", 5),
         )
         logger.info(f"epoch {epoch} done @ step {step_i}; checkpoint saved")
+
+        if args.validate and epoch % eval_interval == 0:
+            if val_dataset is None:
+                from partner_tpu.data import build_dataset as _bd
+                from partner_tpu.eval.evaluator import (build_predict_fn,
+                                                        evaluate)
+
+                val_dataset = _bd(dict(cfg.data["val"]))
+                val_kind = getattr(det, "input_kind", "voxels")
+                # one predict fn for all epochs — rebuilding the closure
+                # would recompile under jit every interval
+                val_predict = build_predict_fn(det, cfg, val_kind)
+                _evaluate = evaluate
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            result, val_fps = _evaluate(
+                det, cfg, val_dataset, variables, work_dir, logger,
+                max_points=args.max_points,
+                max_frames=args.eval_max_frames,
+                input_kind=val_kind, predict_fn=val_predict,
+            )
+            if result is not None:
+                det_metrics = result[0] if isinstance(result, tuple) \
+                    else result
+                logger.info(f"[val] epoch {epoch}: {det_metrics}")
+                if tb_hook is not None and det_metrics:
+                    tb_hook.log(step_i, {
+                        f"val/{k}": v for k, v in det_metrics.items()
+                        if isinstance(v, (int, float)) and np.isfinite(v)
+                    })
 
     logger.info("training complete")
 
