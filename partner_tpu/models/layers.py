@@ -52,9 +52,16 @@ class MaskedBatchNorm(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """Dense-tensor BatchNorm with reference eps/momentum defaults."""
+    """Dense-tensor BatchNorm with reference eps/momentum defaults.
+
+    The conv stacks override torch defaults with eps=1e-3/momentum=0.01
+    (scn.py:66, rpn.py:45) — our defaults; the attention pos-embed stacks
+    use plain ``nn.BatchNorm1d`` (eps=1e-5, momentum=0.1) — pass
+    ``epsilon``/``momentum`` explicitly there."""
 
     use_running_average: bool = False
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
 
     @nn.compact
     def __call__(self, x, use_running_average=None):
@@ -62,7 +69,8 @@ class BatchNorm(nn.Module):
             "use_running_average", self.use_running_average, use_running_average
         )
         return nn.BatchNorm(
-            use_running_average=use_ra, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=use_ra, momentum=self.momentum,
+            epsilon=self.epsilon,
         )(x)
 
 
@@ -93,7 +101,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         x = nn.Dense(self.out)(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
@@ -132,6 +140,9 @@ class PosEmbedMLP(nn.Module):
     def __call__(self, rel, train: bool = True):
         x = nn.Dense(self.hidden)(rel)
         if self.use_bn:
-            x = BatchNorm(use_running_average=not train)(x)
+            # the reference stacks use plain BatchNorm1d defaults here
+            # (eps 1e-5, momentum 0.1), unlike the conv trunks' 1e-3/0.01
+            x = BatchNorm(use_running_average=not train,
+                          momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         return nn.Dense(self.num_heads)(x)

@@ -199,7 +199,7 @@ class SwinVoteBlock(nn.Module):
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y.astype(self.dtype))
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.drop, deterministic=deterministic)(y)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         y = nn.Dropout(self.drop, deterministic=deterministic)(y)

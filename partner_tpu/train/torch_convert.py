@@ -120,16 +120,17 @@ def convert_sep_head_state_dict(sd, heads, prefix=""):
 
 def convert_center_head_state_dict(sd, common_heads, num_tasks,
                                    num_classes_per_task):
-    """Reference CenterHead -> our CenterHead params/batch_stats."""
-    params = {"shared_conv": {
+    """Reference CenterHead -> our CenterHead params/batch_stats.
+
+    The reference shared conv is Conv(3x3, bias) + ReLU with NO norm
+    (center_head.py:208-212); our flax CenterHead mirrors that, so the
+    shared conv lands on the auto-named ``Conv_0``."""
+    params = {"Conv_0": {
         "kernel": convert_torch_conv2d(_np(sd["shared_conv.0.weight"])),
     }}
     stats = {}
     if "shared_conv.0.bias" in sd:
-        params["shared_conv"]["bias"] = _np(sd["shared_conv.0.bias"])
-    p, s = _bn(sd, "shared_conv.1")
-    params["shared_bn"] = p
-    stats["shared_bn"] = s
+        params["Conv_0"]["bias"] = _np(sd["shared_conv.0.bias"])
     for t in range(num_tasks):
         heads = dict(common_heads)
         heads["hm"] = (num_classes_per_task[t], heads.get("hm", (1, 2))[1]
@@ -137,6 +138,181 @@ def convert_center_head_state_dict(sd, common_heads, num_tasks,
         params[f"task{t}"] = convert_sep_head_state_dict(
             sd, heads, prefix=f"tasks.{t}.")
     return params, stats
+
+
+def _ln(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _linear(sd, prefix):
+    p = {"kernel": convert_torch_linear(_np(sd[f"{prefix}.weight"]))}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _conv1d_as_dense(sd, prefix):
+    """Conv1d kernel_size=1 (O, I, 1) -> flax Dense (I, O)."""
+    p = {"kernel": np.transpose(_np(sd[f"{prefix}.weight"])[:, :, 0])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _pos_mlp(sd, prefix):
+    """Reference pos_embedding_cart Sequential(Conv1d(2,16,1), BN1d, ReLU,
+    Conv1d(16,nh,1)) (set_transformer.py:88-92) -> our PosEmbedMLP params
+    {Dense_0, BatchNorm_0, Dense_1} (+ batch_stats)."""
+    params = {"Dense_0": _conv1d_as_dense(sd, f"{prefix}.0"),
+              "Dense_1": _conv1d_as_dense(sd, f"{prefix}.3")}
+    bp, bs = _bn(sd, f"{prefix}.1", nested=True)
+    params["BatchNorm_0"] = bp
+    return params, {"BatchNorm_0": bs}
+
+
+def _mlp(sd, prefix):
+    """Reference Mlp(fc1, fc2) -> our Mlp {Dense_0, Dense_1}."""
+    return {"Dense_0": _linear(sd, f"{prefix}.fc1"),
+            "Dense_1": _linear(sd, f"{prefix}.fc2")}
+
+
+def convert_range_attention_state_dict(sd, prefix=""):
+    """Reference RangeAttention (set_transformer.py:169-259) -> our
+    RangeAttention (params, batch_stats).
+
+    This subpath is layout-correct in the reference (its im2cswin reshape
+    operates on the true (B, L, C) h-major token tensor), so activation
+    parity is exact; the two Sector attentions are NOT (their
+    ``view(B, C, H, W)`` on (B, L, C) scrambles tokens against channels,
+    set_transformer.py:333-336/417-427 — our modules implement the
+    intended layout; models/set_transformer.py:19-23).
+    """
+    params = {
+        "proj_q": _linear(sd, f"{prefix}proj_q"),
+        "proj_k": _linear(sd, f"{prefix}proj_k"),
+        "proj_v": _linear(sd, f"{prefix}proj_v"),
+        "proj": _linear(sd, f"{prefix}proj"),
+        "norm1": _ln(sd, f"{prefix}norm1"),
+        "norm2": _ln(sd, f"{prefix}norm2"),
+        "Mlp_0": _mlp(sd, f"{prefix}mlp"),
+    }
+    pm, ps = _pos_mlp(sd, f"{prefix}pos_embedding_cart")
+    params["pos_mlp"] = pm
+    return params, {"pos_mlp": ps}
+
+
+def convert_sector_attention_state_dict(sd, prefix=""):
+    """Reference SectorAttention (set_transformer.py:262-354) -> our
+    SectorAttention params. Weight layout maps 1:1; activation parity is
+    NOT exact because the reference's q reshape scrambles tokens/channels
+    (see convert_range_attention_state_dict)."""
+    params = {
+        "proj_q": _linear(sd, f"{prefix}proj_q"),
+        "proj_k": _linear(sd, f"{prefix}proj_k"),
+        "proj_v": _linear(sd, f"{prefix}proj_v"),
+        "proj": _linear(sd, f"{prefix}proj"),
+        "norm2": _ln(sd, f"{prefix}norm2"),
+        "Mlp_0": _mlp(sd, f"{prefix}mlp"),
+    }
+    pm, ps = _pos_mlp(sd, f"{prefix}pos_embedding_cart")
+    params["pos_mlp"] = pm
+    return params, {"pos_mlp": ps}
+
+
+def convert_sector_broadcast_state_dict(sd, prefix=""):
+    """Reference SectorAttentionV2 (set_transformer.py:357-440) -> our
+    SectorBroadcast params (q/k/v + pos bias only; no residual/proj)."""
+    params = {
+        "proj_q": _linear(sd, f"{prefix}proj_q"),
+        "proj_k": _linear(sd, f"{prefix}proj_k"),
+        "proj_v": _linear(sd, f"{prefix}proj_v"),
+    }
+    pm, ps = _pos_mlp(sd, f"{prefix}pos_embedding_cart")
+    params["pos_mlp"] = pm
+    return params, {"pos_mlp": ps}
+
+
+def convert_set_attention_state_dict(sd, prefix=""):
+    """One reference SetAttention block (set_transformer.py:56-166) ->
+    our SetAttention (params, batch_stats). The reference's own
+    pos_embedding_cart is dead (never used in forward) and is skipped."""
+    params = {
+        "norm1": _ln(sd, f"{prefix}norm1"),
+        "norm2": _ln(sd, f"{prefix}norm2"),
+        "proj": _linear(sd, f"{prefix}proj"),
+        "Mlp_0": _mlp(sd, f"{prefix}mlp"),
+    }
+    stats = {}
+    for ours, theirs, fn in (
+        ("sector_attn1", "sector_attn1", convert_sector_attention_state_dict),
+        ("range_attn", "range_attn", convert_range_attention_state_dict),
+        ("sector_attn2", "sector_attn2", convert_sector_broadcast_state_dict),
+    ):
+        p, s = fn(sd, prefix=f"{prefix}{theirs}.")
+        params[ours] = p
+        stats[ours] = s
+    return params, stats
+
+
+def _conv2d_1x1_as_dense(sd, prefix):
+    """Conv2d kernel_size=1 (O, I, 1, 1) -> flax Dense (I, O)."""
+    p = {"kernel": np.transpose(_np(sd[f"{prefix}.weight"])[:, :, 0, 0])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def convert_window_attention_state_dict(sd, prefix=""):
+    """De-typo'd reference SwinVote WindowAttention
+    (sw2votev4_util.py:40-101; the shipped module cannot even construct —
+    ``kernal_size`` at :58-63 — so the mapping targets the corrected
+    semantics) -> our swin_vote.WindowAttention params.
+
+    qkv Linear packs [q; k; v] along the output dim; rpe is
+    Conv2d(2,16,1)+ReLU+Conv2d(16,nh,1); vote_mlp is
+    Conv1d(3,16,1)+ReLU+Conv1d(16,C,1); tau is the per-head cosine
+    temperature."""
+    return {
+        "qkv": _linear(sd, f"{prefix}qkv"),
+        "proj": _linear(sd, f"{prefix}proj"),
+        "tau": _np(sd[f"{prefix}tau"]),
+        "rpe": {"Dense_0": _conv2d_1x1_as_dense(sd, f"{prefix}rpe.0"),
+                "Dense_1": _conv2d_1x1_as_dense(sd, f"{prefix}rpe.2")},
+        "vote_mlp": {
+            "Dense_0": _conv1d_as_dense(sd, f"{prefix}vote_mlp.0"),
+            "Dense_1": _conv1d_as_dense(sd, f"{prefix}vote_mlp.2")},
+    }
+
+
+def _sub_state_dict(sd, prefix):
+    return {k[len(prefix):]: v for k, v in sd.items()
+            if k.startswith(prefix)}
+
+
+def convert_voxelnet_state_dict(sd, layer_nums, us_layer_strides,
+                                common_heads, num_classes_per_task):
+    """Whole-detector entry: a reference VoxelNet(+CenterHead) state_dict
+    (module prefixes backbone./neck./bbox_head., DDP ``module.`` prefixes
+    stripped) -> one flax variables tree for our VoxelNetModule.
+
+    Returns {"params": ..., "batch_stats": ...} with the submodule names
+    our module's setup assigns (backbone / neck / bbox_head; the
+    VoxelFeatureExtractorV3 reader is parameter-free)."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    bp, bs = convert_backbone_state_dict(_sub_state_dict(sd, "backbone."))
+    np_, ns = convert_rpn_state_dict(_sub_state_dict(sd, "neck."),
+                                     layer_nums, us_layer_strides)
+    hp, hs = convert_center_head_state_dict(
+        _sub_state_dict(sd, "bbox_head."), common_heads,
+        len(num_classes_per_task), num_classes_per_task)
+    stats = {k: v for k, v in
+             (("backbone", bs), ("neck", ns), ("bbox_head", hs)) if v}
+    return {
+        "params": {"backbone": bp, "neck": np_, "bbox_head": hp},
+        "batch_stats": stats,
+    }
 
 
 def convert_backbone_state_dict(sd):

@@ -90,3 +90,13 @@ def load_reference_modules():
     from det3d.models.necks.rpn import RPN
     from det3d.models.bbox_heads.center_head import CenterHead, SepHead
     return RPN, CenterHead, SepHead
+
+
+def load_reference_set_transformer():
+    """Returns the reference set_transformer module (pure torch,
+    det3d/models/utils/set_transformer.py) for PARTNER attention parity."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    from det3d.models.utils import set_transformer
+    return set_transformer
