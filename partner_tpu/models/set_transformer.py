@@ -47,6 +47,7 @@ class SectorAttention(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
+    gelu_approx: bool = True
 
     @nn.compact
     def __call__(self, s, x, s_pos, x_pos, deterministic=True, train=True):
@@ -71,7 +72,8 @@ class SectorAttention(nn.Module):
         out = nn.Dense(c, name="proj")(out)
         s = shortcut + DropPath(self.drop_path)(out, deterministic)
         s = s + DropPath(self.drop_path)(
-            Mlp(int(c * self.mlp_ratio), c, self.drop)(
+            Mlp(int(c * self.mlp_ratio), c, self.drop,
+                approximate=self.gelu_approx)(
                 nn.LayerNorm(name="norm2")(s), deterministic
             ),
             deterministic,
@@ -88,6 +90,7 @@ class RangeAttention(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
+    gelu_approx: bool = True
 
     @nn.compact
     def __call__(self, s, s_pos, deterministic=True, train=True):
@@ -124,7 +127,8 @@ class RangeAttention(nn.Module):
         out = nn.Dense(c, name="proj")(out)
         s = shortcut + DropPath(self.drop_path)(out, deterministic)
         s = s + DropPath(self.drop_path)(
-            Mlp(int(c * self.mlp_ratio), c, self.drop)(
+            Mlp(int(c * self.mlp_ratio), c, self.drop,
+                approximate=self.gelu_approx)(
                 nn.LayerNorm(name="norm2")(s), deterministic
             ),
             deterministic,
@@ -170,6 +174,7 @@ class SetAttention(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
+    gelu_approx: bool = True
 
     @nn.compact
     def __call__(self, x, pos, deterministic=True, train=True):
@@ -200,11 +205,12 @@ class SetAttention(nn.Module):
 
         s = SectorAttention(
             self.num_heads, self.drop, self.attn_drop, self.drop_path,
-            self.mlp_ratio, name="sector_attn1",
+            self.mlp_ratio, self.gelu_approx, name="sector_attn1",
         )(s, x, s_pos, pos, deterministic, train)
         s = RangeAttention(
             self.num_heads, self.range_window, self.drop, self.attn_drop,
-            self.drop_path, self.mlp_ratio, name="range_attn",
+            self.drop_path, self.mlp_ratio, self.gelu_approx,
+            name="range_attn",
         )(s, s_pos, deterministic, train)
         x = SectorBroadcast(self.num_heads, self.attn_drop, name="sector_attn2")(
             s, x, s_pos, pos, deterministic, train
@@ -216,7 +222,8 @@ class SetAttention(nn.Module):
         x = nn.Dense(c, name="proj")(x)
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
         x = x + DropPath(self.drop_path)(
-            Mlp(int(c * self.mlp_ratio), c, self.drop)(
+            Mlp(int(c * self.mlp_ratio), c, self.drop,
+                approximate=self.gelu_approx)(
                 nn.LayerNorm(name="norm2")(x), deterministic
             ),
             deterministic,
@@ -236,6 +243,7 @@ class SetBlockStack(nn.Module):
     attn_drop: float = 0.1
     drop_path: float = 0.1
     mlp_ratio: float = 4.0
+    gelu_approx: bool = True
 
     @nn.compact
     def __call__(self, x, pos, deterministic=True, train=True):
@@ -249,6 +257,7 @@ class SetBlockStack(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
                 mlp_ratio=self.mlp_ratio,
+                gelu_approx=self.gelu_approx,
                 name=f"block{i}",
             )(x, pos, deterministic, train)
         return x

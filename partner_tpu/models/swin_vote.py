@@ -153,6 +153,7 @@ class SwinVoteBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     dtype: Any = jnp.float32
+    gelu_approx: bool = True
 
     @nn.compact
     def __call__(self, x, pos, vote, deterministic=True):
@@ -199,7 +200,7 @@ class SwinVoteBlock(nn.Module):
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y.astype(self.dtype))
-        y = nn.gelu(y, approximate=False)
+        y = nn.gelu(y, approximate=self.gelu_approx)
         y = nn.Dropout(self.drop, deterministic=deterministic)(y)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         y = nn.Dropout(self.drop, deterministic=deterministic)(y)

@@ -62,7 +62,9 @@ class TestRangeAttentionParity:
 
         params, stats = tc.convert_range_attention_state_dict(
             ref.state_dict())
-        ours = RangeAttention(num_heads=heads, window_w=8)
+        # exact erf GELU to match torch's default activation
+        ours = RangeAttention(num_heads=heads, window_w=8,
+                              gelu_approx=False)
         got = ours.apply({"params": params, "batch_stats": stats},
                          s, pos, deterministic=True, train=False)
         np.testing.assert_allclose(np.asarray(got), want,
