@@ -111,20 +111,31 @@ def main():
     total_steps = args.total_steps or steps_per_epoch * total_epochs
 
     lr_cfg = dict(cfg.lr_config)
-    tx = build_one_cycle_optimizer(
-        lr_max=lr_cfg.get("lr_max", 3e-3), total_steps=total_steps,
-        wd=dict(cfg.optimizer).get("wd", 0.01),
-        moms=lr_cfg.get("moms", (0.95, 0.85)),
-        div_factor=lr_cfg.get("div_factor", 10.0),
-        pct_start=lr_cfg.get("pct_start", 0.4),
-        grad_clip=dict(cfg.get("optimizer_config", {})).get(
-            "grad_clip", {}
-        ).get("max_norm", 35.0),
-    )
-    lr_sched = one_cycle_lr(
-        lr_cfg.get("lr_max", 3e-3), total_steps,
-        lr_cfg.get("div_factor", 10.0), lr_cfg.get("pct_start", 0.4),
-    )
+    grad_clip = dict(cfg.get("optimizer_config", {})).get(
+        "grad_clip", {}).get("max_norm", 35.0)
+    if lr_cfg.get("type", "one_cycle") == "one_cycle":
+        tx = build_one_cycle_optimizer(
+            lr_max=lr_cfg.get("lr_max", 3e-3), total_steps=total_steps,
+            wd=dict(cfg.optimizer).get("wd", 0.01),
+            moms=lr_cfg.get("moms", (0.95, 0.85)),
+            div_factor=lr_cfg.get("div_factor", 10.0),
+            pct_start=lr_cfg.get("pct_start", 0.4),
+            grad_clip=grad_clip,
+        )
+        lr_sched = one_cycle_lr(
+            lr_cfg.get("lr_max", 3e-3), total_steps,
+            lr_cfg.get("div_factor", 10.0), lr_cfg.get("pct_start", 0.4),
+        )
+    else:
+        # the reference lr_updater family (fixed/step/exp/poly/inv/cosine
+        # + warmup) with the config-driven optimizer (train/optim.py)
+        from partner_tpu.train.optim import (build_lr_schedule,
+                                             build_optimizer)
+
+        lr_sched = build_lr_schedule(lr_cfg, total_steps,
+                                     steps_per_epoch=steps_per_epoch)
+        tx = build_optimizer(dict(cfg.optimizer), lr_sched,
+                             grad_clip=grad_clip)
 
     vg = dict(cfg.voxel_generator)
     grid = tuple(
