@@ -220,13 +220,31 @@ class PolarDenseFHD(nn.Module):
 
     def setup(self):
         dt = self.compute_dtype
-        self.stem_dense = [
-            nn.Dense(f, use_bias=False, dtype=dt, name=f"stem{i}")
-            for i, f in enumerate(self.stem_features)]
-        self.stem_bn = [
-            nn.BatchNorm(momentum=0.99, epsilon=1e-3, dtype=jnp.float32,
-                         name=f"stem_bn{i}")
+        # The stem runs CHANNEL-MAJOR (B, C, P): point/voxel buffers are
+        # (P, ~10-64) and TPU pads the minor dim to 128 lanes, so row-major
+        # stem passes read ~12x their logical bytes (measured 5.5 ms of a
+        # 22 ms frame). Explicit params (not nn.Dense) let both layouts
+        # share one parameter set.
+        cin = self.num_input_features + 3  # + fractional-offset decoration
+        dims = [cin] + list(self.stem_features)
+        self.stem_kernels = [
+            self.param(f"stem{i}_kernel", nn.initializers.lecun_normal(),
+                       (dims[i], dims[i + 1]))
             for i in range(len(self.stem_features))]
+        self.stem_scales = [
+            self.param(f"stem{i}_scale", nn.initializers.ones, (f,))
+            for i, f in enumerate(self.stem_features)]
+        self.stem_shifts = [
+            self.param(f"stem{i}_bias", nn.initializers.zeros, (f,))
+            for i, f in enumerate(self.stem_features)]
+        self.stem_means = [
+            self.variable("batch_stats", f"stem{i}_mean",
+                          lambda f=f: jnp.zeros((f,)))
+            for i, f in enumerate(self.stem_features)]
+        self.stem_vars = [
+            self.variable("batch_stats", f"stem{i}_var",
+                          lambda f=f: jnp.ones((f,)))
+            for i, f in enumerate(self.stem_features)]
         if self.trunk2d:
             self.conv_a2d = Dense2DBlock(self.a2d_features, dtype=dt,
                                          name="conv_a2d")
@@ -260,14 +278,38 @@ class PolarDenseFHD(nn.Module):
             2 * self.stem_features[-1], kernel=(3, 1, 1), stride=(2, 1, 1),
             padding="VALID", dtype=dt, name="extra_conv")
 
-    def _stem(self, x, mask, train):
+    def _stem_t(self, x, mask, train):
+        """Channel-major stem: x (B, C, P), mask (B, P) -> (B, F, P).
+
+        BatchNorm semantics match the previous nn.BatchNorm stem: stats
+        over all (batch, point) positions of the mask-zeroed features."""
         dt = self.compute_dtype
-        for dense, bn in zip(self.stem_dense, self.stem_bn):
-            x = dense(x)
-            x = bn(x * mask[..., None].astype(dt),
-                   use_running_average=not train)
-            x = nn.relu(x).astype(dt)
+        for i in range(len(self.stem_features)):
+            x = jnp.einsum("bcp,cf->bfp", x,
+                           self.stem_kernels[i].astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            x = x * mask[:, None, :].astype(dt)
+            xf = x.astype(jnp.float32)
+            if train:
+                mean = xf.mean(axis=(0, 2))
+                var = xf.var(axis=(0, 2))
+                if not self.is_initializing():
+                    self.stem_means[i].value = (
+                        0.99 * self.stem_means[i].value + 0.01 * mean)
+                    self.stem_vars[i].value = (
+                        0.99 * self.stem_vars[i].value + 0.01 * var)
+            else:
+                mean = self.stem_means[i].value
+                var = self.stem_vars[i].value
+            y = (xf - mean[:, None]) * jax.lax.rsqrt(var[:, None] + 1e-3)
+            y = y * self.stem_scales[i][:, None] + self.stem_shifts[i][:, None]
+            x = nn.relu(y).astype(dt)
         return x
+
+    def _stem(self, x, mask, train):
+        """Row-major wrapper: (B, N, C) in / (B, N, F) out (voxel path)."""
+        return self._stem_t(x.transpose(0, 2, 1), mask,
+                            train).transpose(0, 2, 1)
 
     def _trunk(self, canvas, occ, train):
         if self.trunk2d:
@@ -316,17 +358,22 @@ class PolarDenseFHD(nn.Module):
             (pc_range[5] - pc_range[2]) / n_z * self.z_pool,
         ], jnp.float32)
 
-        rza = points[..., :3]  # rho, phi, z
-        g = (rza - pr[jnp.asarray([0, 1, 2])]) / cell  # canvas-cell units
-        idx = jnp.floor(g).astype(jnp.int32)
-        frac = g - idx - 0.5
+        # channel-major throughout the decorate+stem: one transposed read
+        # of the (B, P, ~7) buffer instead of lane-padded passes (the
+        # minor dim of a (P, 7) f32 tensor pads 7 -> 128 on TPU)
+        pts_t = points.transpose(0, 2, 1)  # (B, C, P)
+        rza_t = pts_t[:, :3]  # rho, phi, z
+        g = (rza_t - pr[jnp.asarray([0, 1, 2])][None, :, None]) \
+            / cell[None, :, None]
+        idx_t = jnp.floor(g).astype(jnp.int32)
+        frac_t = g - idx_t - 0.5
+        lim = jnp.asarray([canvas_shape[2], canvas_shape[1], canvas_shape[0]])
         inb = mask & jnp.all(
-            (idx >= 0) & (idx < jnp.asarray(
-                [canvas_shape[2], canvas_shape[1], canvas_shape[0]])), -1)
-        x = jnp.concatenate(
-            [points.astype(jnp.float32), frac], axis=-1).astype(dt)
-        x = self._stem(x, inb, train)
-        coords = jnp.stack([idx[..., 2], idx[..., 1], idx[..., 0]], -1)
+            (idx_t >= 0) & (idx_t < lim[None, :, None]), axis=1)
+        x_t = jnp.concatenate(
+            [pts_t.astype(jnp.float32), frac_t], axis=1).astype(dt)
+        x = self._stem_t(x_t, inb, train).transpose(0, 2, 1)
+        coords = jnp.stack([idx_t[:, 2], idx_t[:, 1], idx_t[:, 0]], -1)
         canvas, occ = scatter_canvas(
             x, coords, inb, canvas_shape, 1, 1, dtype=dt)
         return self._trunk(canvas, occ, train)
