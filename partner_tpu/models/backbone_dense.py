@@ -145,17 +145,26 @@ class Dense2DResBlock(nn.Module):
 
 
 def scatter_canvas(feats, coords, mask, canvas_shape, z_pool, bev_pool,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, fold2d=False):
     """Scatter-max voxel features into a dense pooled canvas.
 
     Args:
-      feats: (B, N, C) voxel features.
+      feats: (B, N, C) voxel features. MUST be non-negative (post-ReLU stem
+        outputs) when ``fold2d=True`` — the empty-cell cleanup relies on it.
       coords: (B, N, 3) int32 full-resolution (z, az, r) coords.
       mask: (B, N) bool.
       canvas_shape: static (cz, cy, cx) pooled grid.
       z_pool / bev_pool: pooling factors from full-res coords.
+      fold2d: scatter with a z-MINOR linear index so the z-fold to 2D
+        channels is a free row-major reshape (no 90 MB relayout copy), and
+        clean empty cells with ``max(canvas, 0)`` instead of an
+        occupancy-select (one fused elementwise pass instead of a
+        column-read + select sweep; bit-exact for post-ReLU features).
     Returns:
-      canvas (B, cz, cy, cx, C), occupancy (B, cz, cy, cx) bool.
+      fold2d=False: canvas (B, cz, cy, cx, C), occupancy (B, cz, cy, cx).
+      fold2d=True:  canvas (B, cy, cx, cz*C) with channel order
+        [z0c0..z0c(C-1), z1c0, ...] (matches the trunk2d fold), occupancy
+        (B, cy, cx, cz).
     """
     cz, cy, cx = canvas_shape
     cells = cz * cy * cx
@@ -165,11 +174,20 @@ def scatter_canvas(feats, coords, mask, canvas_shape, z_pool, bev_pool,
         lz = co[:, 0] // z_pool
         ly = co[:, 1] // bev_pool
         lx = co[:, 2] // bev_pool
-        lin = (lz * cy + ly) * cx + lx
+        if fold2d:
+            lin = (ly * cx + lx) * cz + lz
+        else:
+            lin = (lz * cy + ly) * cx + lx
         lin = jnp.where(m, lin, cells)
         neg = jnp.finfo(dtype).min
         canvas = jnp.full((cells + 1, c), neg, dtype).at[lin].max(
             jnp.where(m[:, None], f, neg).astype(dtype), mode="drop")[:cells]
+        if fold2d:
+            # occupancy from the raw max (untouched cells stay at
+            # finfo.min); lazily computed — XLA drops it when unused
+            occ = (canvas[:, 0] > neg * 0.5).reshape(cy, cx, cz)
+            canvas = jnp.maximum(canvas, 0)
+            return canvas.reshape(cy, cx, cz * c), occ
         # occupancy derived from the max itself instead of a second
         # 200k-update scatter: any finite scattered value exceeds
         # finfo.min/2, while untouched cells stay at finfo.min
@@ -313,15 +331,23 @@ class PolarDenseFHD(nn.Module):
 
     def _trunk(self, canvas, occ, train):
         if self.trunk2d:
-            bb, cz, cy, cx, cc = canvas.shape
-            x = canvas.transpose(0, 2, 3, 1, 4).reshape(bb, cy, cx, cz * cc)
+            # canvas arrives z-FOLDED from scatter_canvas(fold2d=True):
+            # (B, cy, cx, cz*C), occ (B, cy, cx, cz). The 5D views for the
+            # multi_scale contract are lazy transposes — XLA drops them
+            # when no seg head consumes them.
+            bb, cy, cx, cf = canvas.shape
+            cz = occ.shape[-1]
+            x = canvas
             a = self.conv_a2d(x, train)
             for blk in self.blocks_a2d:
                 a = blk(a, train)
             b = self.conv_b2d(a, train)
             for blk in self.blocks_b2d:
                 b = blk(b, train)
-            multi_scale = {"canvas": canvas, "occ": occ, "stage_a": a,
+            canvas5 = canvas.reshape(bb, cy, cx, cz, cf // cz).transpose(
+                0, 3, 1, 2, 4)
+            multi_scale = {"canvas": canvas5,
+                           "occ": occ.transpose(0, 3, 1, 2), "stage_a": a,
                            "stage_b": b}
             return b.astype(jnp.float32), multi_scale
         a = self.conv_a(canvas, train)
@@ -375,7 +401,8 @@ class PolarDenseFHD(nn.Module):
         x = self._stem_t(x_t, inb, train).transpose(0, 2, 1)
         coords = jnp.stack([idx_t[:, 2], idx_t[:, 1], idx_t[:, 0]], -1)
         canvas, occ = scatter_canvas(
-            x, coords, inb, canvas_shape, 1, 1, dtype=dt)
+            x, coords, inb, canvas_shape, 1, 1, dtype=dt,
+            fold2d=self.trunk2d)
         return self._trunk(canvas, occ, train)
 
     def __call__(self, voxel_features, coords, mask, input_shape,
@@ -406,5 +433,5 @@ class PolarDenseFHD(nn.Module):
         # --- the one sparse op: pooled scatter into the dense canvas
         canvas, occ = scatter_canvas(
             x, coords, mask, canvas_shape, self.z_pool, self.bev_pool,
-            dtype=dt)
+            dtype=dt, fold2d=self.trunk2d)
         return self._trunk(canvas, occ, train)
