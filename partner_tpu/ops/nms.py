@@ -40,7 +40,7 @@ def rotated_nms(boxes, scores, iou_threshold, post_max_size):
       keep_idx: (K,) int32 indices into the input (0 for padded slots)
       keep_mask: (K,) bool validity of each output slot
     """
-    from .rotated_iou import rect_intersection_area_green as rect_intersection_area
+    from .rotated_iou import rect_intersection_area_green_pretrig
 
     n = boxes.shape[0]
     s = jnp.where(jnp.isfinite(scores), scores, NEG_INF)
@@ -50,25 +50,45 @@ def rotated_nms(boxes, scores, iou_threshold, post_max_size):
 
     chunk = min(128, n)
     n_pad = ((n + chunk - 1) // chunk) * chunk
+    nb = n_pad // chunk
     b_pad = jnp.pad(b, ((0, n_pad - n), (0, 0)))
-    area = b[:, 2] * b[:, 3]
-    area_pad = jnp.pad(area, (0, n_pad - n))
+    # per-box precompute: the pair kernel then carries no transcendentals
+    trig = jnp.stack([jnp.cos(b_pad[:, 4]), jnp.sin(b_pad[:, 4])], -1)
+    area = b_pad[:, 2] * b_pad[:, 3]
 
-    def chunk_iou(i):
+    # a box is suppressed only by higher-scored (lower-index) boxes, so the
+    # sweep only needs the strict upper triangle of the score-sorted pair
+    # matrix: iterate the (row-block i >= col-block j) block pairs — 47%
+    # less pair work than the full square at nb=16 — and write each block
+    # TRANSPOSED into sup_u[suppressor j, suppressee i]
+    pairs = jnp.asarray([(i, j) for i in range(nb) for j in range(i + 1)],
+                        dtype=jnp.int32)
+    row_ids = jnp.arange(chunk, dtype=jnp.int32)
+
+    def one_block(sup_u, p):
+        i, j = p[0], p[1]
         rows = jax.lax.dynamic_slice(b_pad, (i * chunk, 0), (chunk, 5))
-        inter = rect_intersection_area(
-            jnp.broadcast_to(rows[:, None, :], (chunk, n, 5)),
-            jnp.broadcast_to(b[None, :, :], (chunk, n, 5)),
+        cols = jax.lax.dynamic_slice(b_pad, (j * chunk, 0), (chunk, 5))
+        tr = jax.lax.dynamic_slice(trig, (i * chunk, 0), (chunk, 2))
+        tc = jax.lax.dynamic_slice(trig, (j * chunk, 0), (chunk, 2))
+        ra = jax.lax.dynamic_slice(area, (i * chunk,), (chunk,))
+        rc = jax.lax.dynamic_slice(area, (j * chunk,), (chunk,))
+        inter = rect_intersection_area_green_pretrig(
+            rows[:, None, :], cols[None, :, :], tr[:, None, :], tc[None, :, :]
         )
-        ra = jax.lax.dynamic_slice(area_pad, (i * chunk,), (chunk,))
-        union = ra[:, None] + area[None, :] - inter
-        return inter / jnp.maximum(union, 1e-8)
+        union = jnp.maximum(ra[:, None] + rc[None, :] - inter, 1e-8)
+        blk = inter / union > iou_threshold
+        # strict global j < i (masks the diagonal block's lower half + self)
+        blk &= (j * chunk + row_ids)[None, :] < (i * chunk + row_ids)[:, None]
+        sup_u = jax.lax.dynamic_update_slice(sup_u, blk.T,
+                                             (j * chunk, i * chunk))
+        return sup_u, None
 
-    iou = jax.lax.map(chunk_iou, jnp.arange(n_pad // chunk))
-    iou = iou.reshape(n_pad, n)[:n]
-    suppress_mat = (iou > iou_threshold) & valid[:, None] & valid[None, :]
+    sup_u = jnp.zeros((n_pad, n_pad), bool)
+    sup_u, _ = jax.lax.scan(one_block, sup_u, pairs)
+    sup_u = sup_u[:n, :n] & valid[:, None] & valid[None, :]
 
-    kept = _greedy_keep(suppress_mat, valid)
+    kept = _greedy_keep_upper(sup_u, valid)
 
     # kept-first stable ordering preserves score order among the kept
     pick = jnp.argsort(~kept, stable=True)[:post_max_size]
@@ -88,7 +108,13 @@ def _greedy_keep(suppress_mat, valid):
     n = suppress_mat.shape[0]
     col = jnp.arange(n)
     upper = col[:, None] < col[None, :]  # j suppresses i only if j < i
-    sup_u = suppress_mat & upper
+    return _greedy_keep_upper(suppress_mat & upper, valid)
+
+
+def _greedy_keep_upper(sup_u, valid):
+    """:func:`_greedy_keep` for a matrix already strictly upper-triangular
+    (sup_u[j, i] == True only for j < i)."""
+    n = sup_u.shape[0]
 
     def cond(state):
         kept, prev, it = state

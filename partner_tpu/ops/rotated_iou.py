@@ -243,6 +243,26 @@ def rect_intersection_area_green(box_a, box_b):
     dth = box_a[..., 4] - box_b[..., 4]
     c, s = jnp.cos(dth), jnp.sin(dth)
     cb_, sb_ = jnp.cos(box_b[..., 4]), jnp.sin(box_b[..., 4])
+    return _green_body(box_a, box_b, c, s, cb_, sb_)
+
+
+def rect_intersection_area_green_pretrig(box_a, box_b, trig_a, trig_b):
+    """:func:`rect_intersection_area_green` with the per-box yaw trig
+    precomputed (trig_* = (..., 2) [cos yaw, sin yaw]).
+
+    In an O(N^2) NMS sweep this removes every transcendental from the pair
+    kernel: the angle-difference rotation comes from the identities
+    cos(a-b) = ca*cb + sa*sb, sin(a-b) = sa*cb - ca*sb on broadcast per-box
+    values. For a == b the sine is exactly 0 in floating point (x*y - y*x),
+    so the identical-box degenerate case stays exact."""
+    ca, sa = trig_a[..., 0], trig_a[..., 1]
+    cb_, sb_ = trig_b[..., 0], trig_b[..., 1]
+    c = ca * cb_ + sa * sb_
+    s = sa * cb_ - ca * sb_
+    return _green_body(box_a, box_b, c, s, cb_, sb_)
+
+
+def _green_body(box_a, box_b, c, s, cb_, sb_):
     dxy = box_a[..., :2] - box_b[..., :2]
     t_ab = jnp.stack(
         [dxy[..., 0] * cb_ + dxy[..., 1] * sb_,
