@@ -106,6 +106,7 @@ class VoxelNetModule(nn.Module):
                 drop=set_cfg.get("set_drop", 0.1),
                 attn_drop=set_cfg.get("set_attn_drop", 0.1),
                 drop_path=set_cfg.get("set_drop_path", 0.1),
+                dtype=jnp.dtype(set_cfg.get("set_compute_dtype", "float32")),
             )
 
     def __call__(self, example, train: bool = True, return_bev: bool = False):

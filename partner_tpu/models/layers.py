@@ -6,6 +6,8 @@ fraction; flax's BatchNorm ``momentum`` is the retain fraction, so 0.01
 becomes 0.99 here.
 """
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -62,6 +64,7 @@ class BatchNorm(nn.Module):
     use_running_average: bool = False
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
+    dtype: Any = None  # None: promote to f32; stats/params always f32
 
     @nn.compact
     def __call__(self, x, use_running_average=None):
@@ -70,7 +73,7 @@ class BatchNorm(nn.Module):
         )
         return nn.BatchNorm(
             use_running_average=use_ra, momentum=self.momentum,
-            epsilon=self.epsilon,
+            epsilon=self.epsilon, dtype=self.dtype,
         )(x)
 
 
@@ -103,13 +106,14 @@ class Mlp(nn.Module):
     out: int
     drop: float = 0.0
     approximate: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x.astype(self.dtype))
         x = nn.gelu(x, approximate=self.approximate)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.out)(x)
+        x = nn.Dense(self.out, dtype=self.dtype)(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 
@@ -141,14 +145,15 @@ class PosEmbedMLP(nn.Module):
     num_heads: int
     hidden: int = 16
     use_bn: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, rel, train: bool = True):
-        x = nn.Dense(self.hidden)(rel)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(rel.astype(self.dtype))
         if self.use_bn:
             # the reference stacks use plain BatchNorm1d defaults here
             # (eps 1e-5, momentum 0.1), unlike the conv trunks' 1e-3/0.01
             x = BatchNorm(use_running_average=not train,
-                          momentum=0.9, epsilon=1e-5)(x)
+                          momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Dense(self.num_heads)(x)
+        return nn.Dense(self.num_heads, dtype=self.dtype)(x)

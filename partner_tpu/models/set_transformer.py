@@ -25,7 +25,7 @@ Everything is dense window einsum — XLA fuses the QK/AV matmuls onto the
 MXU; there is no gather-heavy inner loop beyond the single top-k.
 """
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -48,34 +48,41 @@ class SectorAttention(nn.Module):
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
     gelu_approx: bool = True
+    dtype: Any = jnp.float32  # compute dtype; residuals/softmax stay f32
 
     @nn.compact
     def __call__(self, s, x, s_pos, x_pos, deterministic=True, train=True):
         c = s.shape[-1]
         nh = self.num_heads
+        dt = self.dtype
         shortcut = s
-        q = _split_heads(nn.Dense(c, name="proj_q")(s), nh)  # (B,Hk,W,nh,d)
-        k = _split_heads(nn.Dense(c, name="proj_k")(x), nh)  # (B,H,W,nh,d)
-        v = _split_heads(nn.Dense(c, name="proj_v")(x), nh)
+        q = _split_heads(
+            nn.Dense(c, dtype=dt, name="proj_q")(s.astype(dt)), nh)
+        k = _split_heads(
+            nn.Dense(c, dtype=dt, name="proj_k")(x.astype(dt)), nh)
+        v = _split_heads(
+            nn.Dense(c, dtype=dt, name="proj_v")(x.astype(dt)), nh)
 
         scale = (c // nh) ** -0.5
-        attn = jnp.einsum("bqwhd,bkwhd->bwhqk", q * scale, k)
+        attn = jnp.einsum("bqwhd,bkwhd->bwhqk", q * jnp.asarray(scale, dt), k,
+                          preferred_element_type=jnp.float32)
 
         rel = s_pos[:, :, None] - x_pos[:, None, :]  # (B,Hk,H,W,2)
-        bias = PosEmbedMLP(nh, name="pos_mlp")(rel, train)  # (B,Hk,H,W,nh)
-        attn = attn + bias.transpose(0, 3, 4, 1, 2)
+        bias = PosEmbedMLP(nh, dtype=dt, name="pos_mlp")(rel, train)
+        attn = attn + bias.transpose(0, 3, 4, 1, 2).astype(jnp.float32)
 
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(dt)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bwhqk,bkwhd->bqwhd", attn, v)
+        out = jnp.einsum("bwhqk,bkwhd->bqwhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(dt)
         out = out.reshape(s.shape)
-        out = nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, dtype=dt, name="proj")(out).astype(jnp.float32)
         s = shortcut + DropPath(self.drop_path)(out, deterministic)
         s = s + DropPath(self.drop_path)(
             Mlp(int(c * self.mlp_ratio), c, self.drop,
-                approximate=self.gelu_approx)(
+                approximate=self.gelu_approx, dtype=dt)(
                 nn.LayerNorm(name="norm2")(s), deterministic
-            ),
+            ).astype(jnp.float32),
             deterministic,
         )
         return s
@@ -91,9 +98,11 @@ class RangeAttention(nn.Module):
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
     gelu_approx: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, s, s_pos, deterministic=True, train=True):
+        dt = self.dtype
         b, hk, w, c = s.shape
         nh, ww = self.num_heads, self.window_w
         nw = w // ww
@@ -108,29 +117,33 @@ class RangeAttention(nn.Module):
         yw = to_windows(y)
         pw = to_windows(s_pos)  # (B, nw, T, 2)
 
-        q = _split_heads(nn.Dense(c, name="proj_q")(yw), nh)
-        k = _split_heads(nn.Dense(c, name="proj_k")(yw), nh)
-        v = _split_heads(nn.Dense(c, name="proj_v")(yw), nh)
+        yw = yw.astype(dt)
+        q = _split_heads(nn.Dense(c, dtype=dt, name="proj_q")(yw), nh)
+        k = _split_heads(nn.Dense(c, dtype=dt, name="proj_k")(yw), nh)
+        v = _split_heads(nn.Dense(c, dtype=dt, name="proj_v")(yw), nh)
         scale = (c // nh) ** -0.5
-        attn = jnp.einsum("bnqhd,bnkhd->bnhqk", q * scale, k)
+        attn = jnp.einsum("bnqhd,bnkhd->bnhqk", q * jnp.asarray(scale, dt), k,
+                          preferred_element_type=jnp.float32)
 
         rel = pw[:, :, :, None] - pw[:, :, None, :]  # (B,nw,T,T,2)
-        bias = PosEmbedMLP(nh, name="pos_mlp")(rel, train)
-        attn = attn + bias.transpose(0, 1, 4, 2, 3)
-        attn = jax.nn.softmax(attn, axis=-1)
+        bias = PosEmbedMLP(nh, dtype=dt, name="pos_mlp")(rel, train)
+        attn = attn + bias.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(dt)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(b, nw, hk * ww, c)
+        out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v,
+                         preferred_element_type=jnp.float32
+                         ).astype(dt).reshape(b, nw, hk * ww, c)
         # back to (B, Hk, W, C)
         out = out.reshape(b, nw, hk, ww, c).transpose(0, 2, 1, 3, 4).reshape(
             b, hk, w, c
         )
-        out = nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, dtype=dt, name="proj")(out).astype(jnp.float32)
         s = shortcut + DropPath(self.drop_path)(out, deterministic)
         s = s + DropPath(self.drop_path)(
             Mlp(int(c * self.mlp_ratio), c, self.drop,
-                approximate=self.gelu_approx)(
+                approximate=self.gelu_approx, dtype=dt)(
                 nn.LayerNorm(name="norm2")(s), deterministic
-            ),
+            ).astype(jnp.float32),
             deterministic,
         )
         return s
@@ -144,22 +157,29 @@ class SectorBroadcast(nn.Module):
 
     num_heads: int
     attn_drop: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, s, x, s_pos, x_pos, deterministic=True, train=True):
         c = x.shape[-1]
         nh = self.num_heads
-        q = _split_heads(nn.Dense(c, name="proj_q")(x), nh)  # (B,H,W,nh,d)
-        k = _split_heads(nn.Dense(c, name="proj_k")(s), nh)  # (B,Hk,W,nh,d)
-        v = _split_heads(nn.Dense(c, name="proj_v")(s), nh)
+        dt = self.dtype
+        q = _split_heads(
+            nn.Dense(c, dtype=dt, name="proj_q")(x.astype(dt)), nh)
+        k = _split_heads(
+            nn.Dense(c, dtype=dt, name="proj_k")(s.astype(dt)), nh)
+        v = _split_heads(
+            nn.Dense(c, dtype=dt, name="proj_v")(s.astype(dt)), nh)
         scale = (c // nh) ** -0.5
-        attn = jnp.einsum("bqwhd,bkwhd->bwhqk", q * scale, k)
+        attn = jnp.einsum("bqwhd,bkwhd->bwhqk", q * jnp.asarray(scale, dt), k,
+                          preferred_element_type=jnp.float32)
         rel = x_pos[:, :, None] - s_pos[:, None, :]  # (B,H,Hk,W,2)
-        bias = PosEmbedMLP(nh, name="pos_mlp")(rel, train)
-        attn = attn + bias.transpose(0, 3, 4, 1, 2)
-        attn = jax.nn.softmax(attn, axis=-1)
+        bias = PosEmbedMLP(nh, dtype=dt, name="pos_mlp")(rel, train)
+        attn = attn + bias.transpose(0, 3, 4, 1, 2).astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(dt)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bwhqk,bkwhd->bqwhd", attn, v)
+        out = jnp.einsum("bwhqk,bkwhd->bqwhd", attn, v,
+                         preferred_element_type=jnp.float32)
         return out.reshape(x.shape)
 
 
@@ -175,6 +195,7 @@ class SetAttention(nn.Module):
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
     gelu_approx: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos, deterministic=True, train=True):
@@ -205,27 +226,30 @@ class SetAttention(nn.Module):
 
         s = SectorAttention(
             self.num_heads, self.drop, self.attn_drop, self.drop_path,
-            self.mlp_ratio, self.gelu_approx, name="sector_attn1",
+            self.mlp_ratio, self.gelu_approx, self.dtype,
+            name="sector_attn1",
         )(s, x, s_pos, pos, deterministic, train)
         s = RangeAttention(
             self.num_heads, self.range_window, self.drop, self.attn_drop,
-            self.drop_path, self.mlp_ratio, self.gelu_approx,
+            self.drop_path, self.mlp_ratio, self.gelu_approx, self.dtype,
             name="range_attn",
         )(s, s_pos, deterministic, train)
-        x = SectorBroadcast(self.num_heads, self.attn_drop, name="sector_attn2")(
+        x = SectorBroadcast(self.num_heads, self.attn_drop, self.dtype,
+                            name="sector_attn2")(
             s, x, s_pos, pos, deterministic, train
         )
 
         if shift:
             x = jnp.roll(x, shift, axis=2)
 
-        x = nn.Dense(c, name="proj")(x)
+        x = nn.Dense(c, dtype=self.dtype, name="proj")(
+            x.astype(self.dtype)).astype(jnp.float32)
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
         x = x + DropPath(self.drop_path)(
             Mlp(int(c * self.mlp_ratio), c, self.drop,
-                approximate=self.gelu_approx)(
+                approximate=self.gelu_approx, dtype=self.dtype)(
                 nn.LayerNorm(name="norm2")(x), deterministic
-            ),
+            ).astype(jnp.float32),
             deterministic,
         )
         return x
@@ -244,6 +268,7 @@ class SetBlockStack(nn.Module):
     drop_path: float = 0.1
     mlp_ratio: float = 4.0
     gelu_approx: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos, deterministic=True, train=True):
@@ -258,6 +283,7 @@ class SetBlockStack(nn.Module):
                 drop_path=self.drop_path,
                 mlp_ratio=self.mlp_ratio,
                 gelu_approx=self.gelu_approx,
+                dtype=self.dtype,
                 name=f"block{i}",
             )(x, pos, deterministic, train)
         return x
