@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import stem_pallas
+from ..utils.dtypes import resolve_compute_dtype
 from .registry import BACKBONES
 
 
@@ -180,14 +182,21 @@ def scatter_canvas(feats, coords, mask, canvas_shape, z_pool, bev_pool,
             lin = (lz * cy + ly) * cx + lx
         lin = jnp.where(m, lin, cells)
         neg = jnp.finfo(dtype).min
+        if fold2d:
+            # 0-init max-scatter: for post-ReLU (>= 0) features, max with a
+            # zero base equals the neg-inf-init + clamp-at-0 cleanup, so the
+            # empty-cell pass over the 94 MB canvas disappears entirely
+            canvas = jnp.zeros((cells + 1, c), dtype).at[lin].max(
+                jnp.where(m[:, None], f, 0).astype(dtype),
+                mode="drop")[:cells]
+            # occupancy via a 1-wide count scatter; lazily computed — XLA
+            # drops it (and this second scatter) when no seg head consumes it
+            cnt = jnp.zeros((cells + 1, 1), jnp.int32).at[lin].add(
+                jnp.ones((lin.shape[0], 1), jnp.int32), mode="drop")[:cells]
+            occ = (cnt[:, 0] > 0).reshape(cy, cx, cz)
+            return canvas.reshape(cy, cx, cz * c), occ
         canvas = jnp.full((cells + 1, c), neg, dtype).at[lin].max(
             jnp.where(m[:, None], f, neg).astype(dtype), mode="drop")[:cells]
-        if fold2d:
-            # occupancy from the raw max (untouched cells stay at
-            # finfo.min); lazily computed — XLA drops it when unused
-            occ = (canvas[:, 0] > neg * 0.5).reshape(cy, cx, cz)
-            canvas = jnp.maximum(canvas, 0)
-            return canvas.reshape(cy, cx, cz * c), occ
         # occupancy derived from the max itself instead of a second
         # 200k-update scatter: any finite scattered value exceeds
         # finfo.min/2, while untouched cells stay at finfo.min
@@ -237,7 +246,7 @@ class PolarDenseFHD(nn.Module):
                 n_r // self.bev_pool)
 
     def setup(self):
-        dt = self.compute_dtype
+        dt = resolve_compute_dtype(self.compute_dtype)
         # The stem runs CHANNEL-MAJOR (B, C, P): point/voxel buffers are
         # (P, ~10-64) and TPU pads the minor dim to 128 lanes, so row-major
         # stem passes read ~12x their logical bytes (measured 5.5 ms of a
@@ -300,8 +309,26 @@ class PolarDenseFHD(nn.Module):
         """Channel-major stem: x (B, C, P), mask (B, P) -> (B, F, P).
 
         BatchNorm semantics match the previous nn.BatchNorm stem: stats
-        over all (batch, point) positions of the mask-zeroed features."""
-        dt = self.compute_dtype
+        over all (batch, point) positions of the mask-zeroed features.
+
+        At inference on an accelerator the 2-layer stem runs as one fused
+        Pallas kernel (ops/stem_pallas.py; ~1.05 -> ~0.2 ms/frame);
+        training and CPU keep the XLA stages (BN stats + autodiff)."""
+        dt = resolve_compute_dtype(self.compute_dtype)
+        if (not train and not self.is_initializing()
+                and len(self.stem_features) == 2 and stem_pallas.available()):
+            eps = 1e-3
+            ab = []
+            for i in range(2):
+                a = self.stem_scales[i] * jax.lax.rsqrt(
+                    self.stem_vars[i].value + eps)
+                ab.append((a, self.stem_shifts[i]
+                           - self.stem_means[i].value * a))
+            fused = lambda xb, mb: stem_pallas.stem2_channel_major(
+                xb, mb,
+                self.stem_kernels[0].T.astype(dt), ab[0][0], ab[0][1],
+                self.stem_kernels[1].T.astype(dt), ab[1][0], ab[1][1])
+            return jax.vmap(fused)(x.astype(dt), mask)
         for i in range(len(self.stem_features)):
             x = jnp.einsum("bcp,cf->bfp", x,
                            self.stem_kernels[i].astype(dt),
@@ -376,7 +403,7 @@ class PolarDenseFHD(nn.Module):
         """
         n_r, n_az, n_z = (int(s) for s in input_shape)
         canvas_shape = self._canvas_shape(input_shape)
-        dt = self.compute_dtype
+        dt = resolve_compute_dtype(self.compute_dtype)
         pr = jnp.asarray(pc_range, jnp.float32)
         cell = jnp.asarray([
             (pc_range[3] - pc_range[0]) / n_r * self.bev_pool,
@@ -418,7 +445,7 @@ class PolarDenseFHD(nn.Module):
           multi_scale: dict of dense stage tensors (canvas/stage_a/stage_b).
         """
         canvas_shape = self._canvas_shape(input_shape)
-        dt = self.compute_dtype
+        dt = resolve_compute_dtype(self.compute_dtype)
 
         # --- stem: decorated per-voxel MLP (full resolution, pure matmul)
         frac = (coords.astype(jnp.float32) %

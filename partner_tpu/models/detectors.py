@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..core.center_coder import CenterCoder
 from ..core.geometry import bev_cell_centers
 from ..losses.set_crit import SetCriterion
+from ..utils.dtypes import resolve_compute_dtype
 from .registry import BACKBONES, BBOX_HEADS, DETECTORS, NECKS, READERS, build_from_cfg
 from .set_transformer import SetBlockStack
 
@@ -106,7 +107,8 @@ class VoxelNetModule(nn.Module):
                 drop=set_cfg.get("set_drop", 0.1),
                 attn_drop=set_cfg.get("set_attn_drop", 0.1),
                 drop_path=set_cfg.get("set_drop_path", 0.1),
-                dtype=jnp.dtype(set_cfg.get("set_compute_dtype", "float32")),
+                dtype=resolve_compute_dtype(
+                    set_cfg.get("set_compute_dtype", "float32")),
             )
 
     def __call__(self, example, train: bool = True, return_bev: bool = False):

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.dtypes import resolve_compute_dtype
+
 from ..core.geometry import bev_cell_centers, wrap_angle_pi
 from ..ops.nms import rotate_nms_pcdet
 from .layers import BatchNorm
@@ -99,7 +101,7 @@ class E2ESWVoteHead(nn.Module):
     compute_dtype: str = "float32"  # "bfloat16" halves the head's HBM traffic
 
     def setup(self):
-        dt = jnp.dtype(self.compute_dtype)
+        dt = resolve_compute_dtype(self.compute_dtype)
         n_r = self.grid_size[0] // self.out_size_factor
         n_az = self.grid_size[1] // self.out_size_factor
         voxel_size = (

@@ -11,6 +11,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..utils.dtypes import resolve_compute_dtype
+
 from .layers import BatchNorm
 from .registry import NECKS
 
@@ -28,7 +30,7 @@ class RPN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        dt = jnp.dtype(self.compute_dtype)
+        dt = resolve_compute_dtype(self.compute_dtype)
         x = x.astype(dt)
         ups = []
         upsample_start = len(self.layer_nums) - len(self.us_layer_strides)

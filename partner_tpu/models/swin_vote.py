@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.dtypes import resolve_compute_dtype
+
+from ..ops import swin_attn_pallas
+
 
 class VoteMLP(nn.Module):
     features: int
@@ -42,15 +46,21 @@ class VoteMLP(nn.Module):
 
 
 class RPEMLP(nn.Module):
+    """Relative-position bias MLP. setup-style with the compact-default
+    child names (Dense_0/Dense_1) so the param tree — and the torch
+    converter mapping — is unchanged; the fused attention kernel reads the
+    raw kernels via the named children."""
+
     num_heads: int
     hidden: int = 16
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.d0 = nn.Dense(self.hidden, dtype=self.dtype, name="Dense_0")
+        self.d1 = nn.Dense(self.num_heads, dtype=self.dtype, name="Dense_1")
+
     def __call__(self, rel):
-        x = nn.Dense(self.hidden, dtype=self.dtype)(rel)
-        x = nn.relu(x)
-        return nn.Dense(self.num_heads, dtype=self.dtype)(x)
+        return self.d1(nn.relu(self.d0(rel)))
 
 
 def window_partition(x, ws):
@@ -107,6 +117,33 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(nb, t, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] + ve, qkv[1] + ve, qkv[2] + ve  # (nB, nh, T, hd)
 
+        rpe_mod = RPEMLP(nh, dtype=self.dtype, name="rpe")
+        tau = self.param("tau", nn.initializers.ones, (1, nh, 1, 1))
+
+        if (deterministic and pad_mask is None
+                and not self.is_initializing() and swin_attn_pallas.available()):
+            # fused inference path: cosine attention + RPE MLP + region
+            # mask + softmax + AV in one VMEM-resident Pallas kernel
+            # (ops/swin_attn_pallas.py). The dummy call creates/binds the
+            # RPE params without materializing the (nB, T, T, 2) deltas.
+            rpe_mod(jnp.zeros((1, 2), self.dtype))
+            rp = rpe_mod.variables["params"]
+            if mask is not None:
+                nw = mask.shape[0]
+                madd = jnp.tile(mask, (nb // nw, 1, 1))
+            else:
+                madd = jnp.zeros((nb, t, t), jnp.float32)
+            out = swin_attn_pallas.swin_vote_attention(
+                q, k, v, pos, madd,
+                rp["Dense_0"]["kernel"], rp["Dense_0"]["bias"],
+                rp["Dense_1"]["kernel"], rp["Dense_1"]["bias"],
+                jnp.clip(tau, min=0.01).reshape(nh),
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(nb, t, c)
+            out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop,
+                              deterministic=deterministic)(out)
+
         # eps INSIDE the sqrt: the plain L2 norm has a NaN gradient at
         # exactly-zero vectors (padded cells at init), and clamping the
         # product downstream does not fix the norm's own VJP
@@ -119,12 +156,10 @@ class WindowAttention(nn.Module):
                           preferred_element_type=jnp.float32) / (
             qn * kn.transpose(0, 1, 3, 2)
         )
-        tau = self.param("tau", nn.initializers.ones, (1, nh, 1, 1))
         attn = attn / jnp.clip(tau, min=0.01)
 
         rel = pos[:, :, None, :] - pos[:, None, :, :]  # (nB, T, T, 2)
-        rpe = RPEMLP(nh, dtype=self.dtype, name="rpe")(
-            rel.astype(self.dtype))  # (nB, T, T, nh)
+        rpe = rpe_mod(rel.astype(self.dtype))  # (nB, T, T, nh)
         attn = attn + rpe.transpose(0, 3, 1, 2).astype(jnp.float32)
 
         if mask is not None:
@@ -171,19 +206,27 @@ class SwinVoteBlock(nn.Module):
             return jnp.pad(t, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
 
         x_p, pos_p, vote_p = pad(x), pad(pos), pad(vote)
-        valid = jnp.pad(
-            jnp.ones((b, h, w, 1), bool),
-            ((0, 0), (0, pad_b), (0, pad_r), (0, 0)),
-        )
+        if pad_b or pad_r:
+            valid = jnp.pad(
+                jnp.ones((b, h, w, 1), bool),
+                ((0, 0), (0, pad_b), (0, pad_r), (0, 0)),
+            )
+        else:
+            valid = None  # exact tiling (flagship 256x144 @ ws=8): no
+            # pad rows exist, so the pad-mask select over the
+            # (nB, nh, T, T) logits is dead weight — skip it
 
         if shift:
             roll = lambda t: jnp.roll(t, (-shift, -shift), axis=(1, 2))
-            x_p, pos_p, vote_p, valid = map(roll, (x_p, pos_p, vote_p, valid))
+            x_p, pos_p, vote_p = map(roll, (x_p, pos_p, vote_p))
+            if valid is not None:
+                valid = jnp.roll(valid, (-shift, -shift), axis=(1, 2))
 
         xw = window_partition(x_p, ws)
         pw = window_partition(pos_p, ws)
         vw = window_partition(vote_p, ws)
-        mw = window_partition(valid.astype(jnp.float32), ws)[..., 0] > 0
+        mw = (window_partition(valid.astype(jnp.float32), ws)[..., 0] > 0
+              if valid is not None else None)
 
         mask = swin_attn_mask(hp, wp, ws, shift)
         out = WindowAttention(
@@ -222,7 +265,7 @@ class SwinVoteTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, pos, vote, deterministic=True):
         # x (B, H, W, in_ch); pos (B, H, W, 2); vote (B, H, W, 3)
-        dt = jnp.dtype(self.compute_dtype)
+        dt = resolve_compute_dtype(self.compute_dtype)
         x = nn.Conv(self.embed_dim, (1, 1), dtype=dt, name="patch_embed")(x)
         x = nn.LayerNorm(name="patch_norm")(x.astype(jnp.float32))
         for i in range(self.depth):

@@ -138,3 +138,65 @@ class TensorBoardLoggerHook:
 
     def close(self):
         self.writer.close()
+
+
+class MetricsSinkHook:
+    """Structured metrics sink — the remote-metrics-service surface of the
+    reference's PaviLoggerHook (torchie/trainer/hooks/logger/pavi.py),
+    which streams {step, metric: value} records to SenseTime's proprietary
+    Pavi service. Here the transport is pluggable: a JSON-lines file by
+    default (ingestible by any dashboard), or any callable sink for a real
+    service client. Registered alongside the other logger hooks so configs
+    naming PaviLoggerHook keep working.
+    """
+
+    def __init__(self, path=None, sink=None, interval=5, session_text=""):
+        import json
+
+        self._json = json
+        self.interval = interval
+        self.session_text = session_text
+        if sink is not None:
+            self.sink = sink
+            self._fh = None
+        else:
+            path = path or "metrics.jsonl"
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._fh = open(path, "a")
+            self.sink = lambda rec: (
+                self._fh.write(self._json.dumps(rec) + "\n"),
+                self._fh.flush(),
+            )
+
+    def log(self, step, scalars, lr=None, epoch=None):
+        if step % self.interval:
+            return
+        rec = {"step": int(step)}
+        if epoch is not None:
+            rec["epoch"] = int(epoch)
+        if lr is not None:
+            rec["lr"] = float(lr)
+        for k, v in scalars.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self.sink(rec)
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+
+
+# config-compat alias (reference hook name)
+PaviLoggerHook = MetricsSinkHook
+
+
+class ClosureHook:
+    """Attach an ad-hoc callable as a hook stage (the reference's
+    ClosureHook, torchie/trainer/hooks/closure.py): fn_name is one of the
+    hook-point method names, fn the callable bound to it."""
+
+    def __init__(self, fn_name, fn):
+        assert callable(fn)
+        setattr(self, fn_name, fn)

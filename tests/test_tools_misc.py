@@ -52,6 +52,10 @@ class TestMultiSweepCLI:
             pickle.dump(infos, f)
         env = dict(os.environ, JAX_PLATFORMS="cpu",
                    XLA_FLAGS="--xla_force_host_platform_device_count=1")
+        # sitecustomize force-registers the remote-TPU plugin when this is
+        # set, overriding JAX_PLATFORMS — the CPU subprocess must never
+        # depend on the tunnel being up
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
                            "tests", "tiny_synthetic.py")
         r = subprocess.run(
@@ -120,3 +124,31 @@ class TestSingleInference:
         si._file_loop(A, cfg)
         assert (tmp_path / "f0.det.npz").exists()
         assert (tmp_path / "f1.det.npz").exists()
+
+
+class TestMetricsSinkHook:
+    def test_jsonl_sink_and_interval(self, tmp_path):
+        import json
+
+        from partner_tpu.train.hooks import ClosureHook, MetricsSinkHook
+
+        p = str(tmp_path / "metrics.jsonl")
+        h = MetricsSinkHook(path=p, interval=2)
+        h.log(0, {"loss": 1.5, "hm_loss": 0.7}, lr=3e-3, epoch=0)
+        h.log(1, {"loss": 1.4})          # skipped (interval)
+        h.log(2, {"loss": 1.3, "bad": object()})
+        h.close()
+        recs = [json.loads(l) for l in open(p)]
+        assert [r["step"] for r in recs] == [0, 2]
+        assert recs[0]["lr"] == 3e-3 and recs[0]["hm_loss"] == 0.7
+        assert "bad" not in recs[1]
+
+        seen = []
+        h2 = MetricsSinkHook(sink=seen.append, interval=1)
+        h2.log(7, {"loss": 0.5})
+        assert seen == [{"step": 7, "loss": 0.5}]
+
+        calls = []
+        ch = ClosureHook("after_iter", lambda t: calls.append(t))
+        ch.after_iter(42)
+        assert calls == [42]

@@ -50,6 +50,8 @@ class TestTrackCLI:
         with open(info_p, "wb") as f:
             pickle.dump(infos, f)
         env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the subprocess off the
+        # remote-TPU plugin (sitecustomize overrides JAX_PLATFORMS)
         r = subprocess.run(
             [sys.executable, os.path.join(TOOLS, "track.py"),
              "--prediction", str(pred), "--info_path", str(info_p),

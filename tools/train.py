@@ -205,10 +205,32 @@ def main():
         from partner_tpu.train.hooks import TensorBoardLoggerHook
 
         tb_hook = TensorBoardLoggerHook(os.path.join(work_dir, "tb"))
+    sink_hook = None
+    log_hooks = dict(cfg.get("log_config", {})).get("hooks", [])
+    if any(dict(h).get("type") in ("PaviLoggerHook", "MetricsSinkHook")
+           for h in log_hooks):
+        from partner_tpu.train.hooks import MetricsSinkHook
+
+        hk = next(dict(h) for h in log_hooks
+                  if dict(h).get("type") in ("PaviLoggerHook",
+                                             "MetricsSinkHook"))
+        sink_hook = MetricsSinkHook(
+            path=hk.get("path", os.path.join(work_dir, "metrics.jsonl")),
+            interval=hk.get("interval",
+                            dict(cfg.get("log_config", {})).get("interval", 5)))
     timer = IterTimer()
     rng = jax.random.PRNGKey(args.seed + 1)
 
     eval_interval = args.eval_interval or cfg.get("eval_interval", 1)
+    # reference workflow semantics (Trainer.run, trainer.py:599-649):
+    # a ("val", n) entry in cfg.workflow enables epoch-boundary validation
+    # without the CLI flag, with n epochs of train per val pass
+    wf = [tuple(w) for w in cfg.get("workflow", [])]
+    if any(m == "val" for m, *_ in wf):
+        args.validate = True
+        train_epochs = sum(n for m, n in wf if m == "train")
+        if args.eval_interval is None and train_epochs:
+            eval_interval = train_epochs
     val_dataset = None
     val_kind = val_predict = _evaluate = None
 
@@ -248,6 +270,11 @@ def main():
                 tb_hook.log(step_i, {"loss": loss,
                                      "grad_norm": float(metrics["grad_norm"])},
                             lr=float(lr_sched(step_i)))
+            if sink_hook is not None:
+                sink_hook.log(step_i,
+                              {"loss": loss,
+                               "grad_norm": float(metrics["grad_norm"])},
+                              lr=float(lr_sched(step_i)), epoch=epoch)
             step_i += 1
             if args.max_steps_per_epoch and step_i % steps_per_epoch == 0:
                 break
@@ -289,6 +316,8 @@ def main():
                         if isinstance(v, (int, float)) and np.isfinite(v)
                     })
 
+    if sink_hook is not None:
+        sink_hook.close()
     logger.info("training complete")
 
 
