@@ -179,3 +179,57 @@ def convert_detection_to_global_box(detections, infos):
         })
     frames.sort(key=lambda f: f["timestamp"])
     return frames
+
+
+def mota_evaluate(results, gt_frames, max_match_dist=2.0):
+    """Local CLEAR-MOT tracking metrics (MOTA + components).
+
+    The reference scores tracking with the external Waymo devkit
+    (waymo_tracking/test.py writes a bin for it); this in-framework
+    evaluator implements the standard CLEAR-MOT counting — greedy
+    center-distance matching per frame/class, misses + false positives +
+    identity switches over GT — so the line-search tool
+    (tools/track_line_search.py) can optimize gates without the devkit.
+
+    Args:
+      results: {token: {tracking_ids, boxes_global (N,3), labels}} — the
+        run_tracking output.
+      gt_frames: {token: {centers (M,2|3), labels (M,), ids (M,)}} in the
+        same global frame, frames in temporal order of dict insertion.
+      max_match_dist: association gate in meters (BEV center distance).
+
+    Returns dict(mota, misses, false_positives, id_switches, num_gt).
+    """
+    misses = fps = idsw = n_gt = 0
+    last_id = {}  # gt id -> tracker id matched last time
+    for token, gt in gt_frames.items():
+        g_xy = np.asarray(gt["centers"], np.float32)[:, :2]
+        g_lab = np.asarray(gt["labels"])
+        g_ids = np.asarray(gt["ids"])
+        n_gt += len(g_xy)
+        r = results.get(token)
+        if r is None or len(r["tracking_ids"]) == 0:
+            misses += len(g_xy)
+            continue
+        t_xy = np.asarray(r["boxes_global"], np.float32)[:, :2]
+        t_lab = np.asarray(r["labels"])
+        t_ids = np.asarray(r["tracking_ids"])
+
+        dist = np.linalg.norm(g_xy[:, None] - t_xy[None, :], axis=-1)
+        dist = np.where(g_lab[:, None] == t_lab[None, :], dist, 1e18)
+        dist = np.where(dist <= max_match_dist, dist, 1e18)
+        matched_t = set()
+        matched_g = set()
+        for gi, ti in greedy_assignment(dist.copy()):
+            matched_g.add(gi)
+            matched_t.add(ti)
+            gid = int(g_ids[gi])
+            tid = int(t_ids[ti])
+            if gid in last_id and last_id[gid] != tid:
+                idsw += 1
+            last_id[gid] = tid
+        misses += len(g_xy) - len(matched_g)
+        fps += len(t_xy) - len(matched_t)
+    mota = 1.0 - (misses + fps + idsw) / max(n_gt, 1)
+    return {"mota": mota, "misses": misses, "false_positives": fps,
+            "id_switches": idsw, "num_gt": n_gt}

@@ -83,3 +83,71 @@ class TestSegMetrics:
         pe.addBatch(sem.copy(), pred_inst, sem.copy(), gt_inst)
         pq, sq, rq, *_ = pe.getPQ()
         assert pq < 1.0  # split instance costs PQ
+
+
+class TestMota:
+    def _frames(self):
+        # 2 GT objects over 3 frames; ids 10, 11
+        gt = {}
+        for fi in range(3):
+            gt[f"s_frame_{fi}"] = {
+                "centers": np.array([[10.0 + fi, 0.0, 0.0],
+                                     [0.0, 20.0 - fi, 0.0]], np.float32),
+                "labels": np.array([0, 0]),
+                "ids": np.array([10, 11]),
+            }
+        return gt
+
+    def test_perfect_tracking_mota_1(self):
+        from partner_tpu.eval.tracking import mota_evaluate
+
+        gt = self._frames()
+        results = {
+            tok: {"tracking_ids": np.array([1, 2]),
+                  "boxes_global": g["centers"],
+                  "labels": g["labels"],
+                  "scores": np.ones(2, np.float32)}
+            for tok, g in gt.items()
+        }
+        m = mota_evaluate(results, gt)
+        assert m["mota"] == 1.0 and m["num_gt"] == 6
+        assert m["id_switches"] == 0
+
+    def test_counts_miss_fp_idsw(self):
+        from partner_tpu.eval.tracking import mota_evaluate
+
+        gt = self._frames()
+        results = {}
+        for fi, (tok, g) in enumerate(gt.items()):
+            if fi == 0:
+                # both matched, ids 1/2
+                results[tok] = {"tracking_ids": np.array([1, 2]),
+                                "boxes_global": g["centers"],
+                                "labels": g["labels"]}
+            elif fi == 1:
+                # first object switches to id 3; second missed; one FP far away
+                results[tok] = {
+                    "tracking_ids": np.array([3, 4]),
+                    "boxes_global": np.stack(
+                        [g["centers"][0], np.array([50.0, 50, 0])]),
+                    "labels": np.array([0, 0])}
+            else:
+                results[tok] = {"tracking_ids": np.array([3, 2]),
+                                "boxes_global": g["centers"],
+                                "labels": g["labels"]}
+        m = mota_evaluate(results, gt)
+        assert m["misses"] == 1          # obj 11 in frame 1
+        assert m["false_positives"] == 1  # far box in frame 1
+        assert m["id_switches"] == 1      # obj 10: id 1 -> 3 (3 stays in f2)
+        assert abs(m["mota"] - (1 - 3 / 6)) < 1e-9
+
+    def test_wrong_class_never_matches(self):
+        from partner_tpu.eval.tracking import mota_evaluate
+
+        gt = {"t0": {"centers": np.array([[5.0, 5.0, 0.0]], np.float32),
+                     "labels": np.array([0]), "ids": np.array([7])}}
+        results = {"t0": {"tracking_ids": np.array([1]),
+                          "boxes_global": np.array([[5.0, 5.0, 0.0]]),
+                          "labels": np.array([1])}}
+        m = mota_evaluate(results, gt)
+        assert m["misses"] == 1 and m["false_positives"] == 1

@@ -32,8 +32,14 @@ from partner_tpu.eval.tracking import (
 )
 
 
-def run_tracking(detections, infos, dataset="waymo", vehicle_only=False):
-    """Returns {token: {tracking_ids, boxes_global, scores, labels}}."""
+def run_tracking(detections, infos, dataset="waymo", vehicle_only=False,
+                 max_dist=None, score_thresh=None, max_age=3):
+    """Returns {token: {tracking_ids, boxes_global, scores, labels}}.
+
+    max_dist / score_thresh / max_age override the per-dataset tracker
+    gates — the knobs the reference's threshold grid search sweeps
+    (/root/reference/tools/waymo_tracking/line_search.py, test.py
+    --vehicle/--pedestrian/--cyclist/--score_thresh)."""
     names = WAYMO_TRACKING_NAMES if dataset == "waymo" else None
     frames = convert_detection_to_global_box(detections, infos)
 
@@ -46,7 +52,13 @@ def run_tracking(detections, infos, dataset="waymo", vehicle_only=False):
 
     out = {}
     for seq, frs in seqs.items():
-        tracker = (waymo_tracker() if dataset == "waymo" else nusc_tracker())
+        kw = {}
+        if score_thresh is not None:
+            kw["score_thresh"] = score_thresh
+        if dataset == "waymo":
+            tracker = waymo_tracker(max_age=max_age, max_dist=max_dist, **kw)
+        else:
+            tracker = nusc_tracker(max_age=max_age, **kw)
         last_t = None
         for fr in sorted(frs, key=lambda f: f["timestamp"]):
             time_lag = (0.0 if last_t is None
@@ -88,6 +100,13 @@ def main():
     p.add_argument("--info_path", required=True)
     p.add_argument("--work_dir", default="./tracking_out")
     p.add_argument("--dataset", default="waymo", choices=["waymo", "nusc"])
+    # per-class association gates + score threshold (reference
+    # waymo_tracking/test.py:--vehicle/--pedestrian/--cyclist/--score_thresh)
+    p.add_argument("--vehicle", type=float, default=None)
+    p.add_argument("--pedestrian", type=float, default=None)
+    p.add_argument("--cyclist", type=float, default=None)
+    p.add_argument("--score_thresh", type=float, default=None)
+    p.add_argument("--max_age", type=int, default=3)
     args = p.parse_args()
 
     with open(args.prediction, "rb") as f:
@@ -95,7 +114,15 @@ def main():
     with open(args.info_path, "rb") as f:
         infos = pickle.load(f)
 
-    results = run_tracking(detections, infos, args.dataset)
+    max_dist = None
+    if any(v is not None for v in (args.vehicle, args.pedestrian,
+                                   args.cyclist)):
+        max_dist = {"VEHICLE": args.vehicle or 2.5,
+                    "PEDESTRIAN": args.pedestrian or 1.0,
+                    "CYCLIST": args.cyclist or 1.5}
+    results = run_tracking(detections, infos, args.dataset,
+                           max_dist=max_dist, score_thresh=args.score_thresh,
+                           max_age=args.max_age)
 
     os.makedirs(args.work_dir, exist_ok=True)
     out_pkl = os.path.join(args.work_dir, "tracking_result.pkl")
