@@ -139,9 +139,9 @@ def waymo_tracker(max_age=3, score_thresh=0.75,
     )
 
 
-def nusc_tracker(max_age=3, score_thresh=0.1):
+def nusc_tracker(max_age=3, score_thresh=0.1, max_dist=None):
     return GreedyTracker(
-        NUSC_TRACKING_NAMES, NUSC_CLS_VELOCITY_ERROR,
+        NUSC_TRACKING_NAMES, max_dist or NUSC_CLS_VELOCITY_ERROR,
         max_age=max_age, score_thresh=score_thresh,
     )
 
@@ -203,9 +203,11 @@ def mota_evaluate(results, gt_frames, max_match_dist=2.0):
     misses = fps = idsw = n_gt = 0
     last_id = {}  # gt id -> tracker id matched last time
     for token, gt in gt_frames.items():
-        g_xy = np.asarray(gt["centers"], np.float32)[:, :2]
-        g_lab = np.asarray(gt["labels"])
-        g_ids = np.asarray(gt["ids"])
+        garr = np.asarray(gt["centers"], np.float32)
+        g_xy = (garr.reshape(-1, garr.shape[-1])[:, :2] if garr.size
+                else np.zeros((0, 2), np.float32))
+        g_lab = np.asarray(gt["labels"]).reshape(-1)
+        g_ids = np.asarray(gt["ids"]).reshape(-1)
         n_gt += len(g_xy)
         r = results.get(token)
         if r is None or len(r["tracking_ids"]) == 0:
@@ -220,7 +222,26 @@ def mota_evaluate(results, gt_frames, max_match_dist=2.0):
         dist = np.where(dist <= max_match_dist, dist, 1e18)
         matched_t = set()
         matched_g = set()
-        for gi, ti in greedy_assignment(dist.copy()):
+        # CLEAR-MOT: persist still-valid previous-frame correspondences
+        # FIRST — only unmatched objects go through fresh greedy matching.
+        # Without this, two nearby same-class objects can swap pairings
+        # frame-to-frame and count spurious id switches.
+        tid_col = {int(t): j for j, t in enumerate(t_ids)}
+        for gi in range(len(g_xy)):
+            gid = int(g_ids[gi])
+            prev = last_id.get(gid)
+            if prev is None or prev not in tid_col:
+                continue
+            ti = tid_col[prev]
+            if ti not in matched_t and dist[gi, ti] < 1e16:
+                matched_g.add(gi)
+                matched_t.add(ti)
+        sub = dist.copy()
+        for gi in matched_g:
+            sub[gi, :] = 1e18
+        for ti in matched_t:
+            sub[:, ti] = 1e18
+        for gi, ti in greedy_assignment(sub):
             matched_g.add(gi)
             matched_t.add(ti)
             gid = int(g_ids[gi])

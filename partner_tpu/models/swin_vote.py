@@ -130,9 +130,10 @@ class WindowAttention(nn.Module):
             rp = rpe_mod.variables["params"]
             if mask is not None:
                 nw = mask.shape[0]
-                madd = jnp.tile(mask, (nb // nw, 1, 1))
+                madd = (mask if nb == nw
+                        else jnp.tile(mask, (nb // nw, 1, 1)))
             else:
-                madd = jnp.zeros((nb, t, t), jnp.float32)
+                madd = None  # unshifted: the kernel skips the mask add
             out = swin_attn_pallas.swin_vote_attention(
                 q, k, v, pos, madd,
                 rp["Dense_0"]["kernel"], rp["Dense_0"]["bias"],

@@ -34,8 +34,13 @@ def available():
             and os.environ.get("PARTNER_TPU_PALLAS", "0") == "1")
 
 
-def _kernel(q_ref, k_ref, v_ref, pos_ref, mask_ref, w1_ref, b1_ref,
-            w2_ref, b2_ref, tau_ref, o_ref):
+def _kernel(refs, has_mask):
+    if has_mask:
+        (q_ref, k_ref, v_ref, pos_ref, mask_ref, w1_ref, b1_ref,
+         w2_ref, b2_ref, tau_ref, o_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, pos_ref, w1_ref, b1_ref,
+         w2_ref, b2_ref, tau_ref, o_ref) = refs
     g, nh, t, hd = q_ref.shape
     f32 = jnp.float32
 
@@ -49,7 +54,7 @@ def _kernel(q_ref, k_ref, v_ref, pos_ref, mask_ref, w1_ref, b1_ref,
         rpe = (jnp.dot(hidden, w2_ref[:].astype(f32),
                        preferred_element_type=f32)
                + b2_ref[:].astype(f32)).reshape(t, t, nh)
-        mask = mask_ref[wi].astype(f32)                  # (T, T)
+        mask = mask_ref[wi].astype(f32) if has_mask else None
 
         for h in range(nh):
             q = q_ref[wi, h].astype(f32)                 # (T, hd)
@@ -62,7 +67,9 @@ def _kernel(q_ref, k_ref, v_ref, pos_ref, mask_ref, w1_ref, b1_ref,
                 preferred_element_type=f32)              # (T, T)
             logits = logits / (qn * kn.reshape(1, t))
             logits = logits / tau_ref[0, h]
-            logits = logits + rpe[:, :, h] + mask
+            logits = logits + rpe[:, :, h]
+            if has_mask:
+                logits = logits + mask
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -79,7 +86,8 @@ def swin_vote_attention(q, k, v, pos, mask, w1, b1, w2, b2, tau,
     Args:
       q, k, v: (nW, nh, T, hd) compute dtype (vote embedding already added).
       pos: (nW, T, 2) f32 window cell centers.
-      mask: (nW, T, T) f32 additive region mask (zeros when unshifted).
+      mask: (nW, T, T) f32 additive region mask, or None (unshifted blocks
+        — no dense zeros tensor is materialized or streamed).
       w1: (2, H), b1: (H,), w2: (H, nh), b2: (nh,) RPE MLP params (f32).
       tau: (nh,) f32 clamped temperature.
     Returns (nW, nh, T, hd) attention output in q.dtype.
@@ -87,46 +95,49 @@ def swin_vote_attention(q, k, v, pos, mask, w1, b1, w2, b2, tau,
     nw, nh, t, hd = q.shape
     g = min(g, nw)
     pad = (-nw) % g
+    has_mask = mask is not None
     if pad:
         zq = jnp.zeros((pad, nh, t, hd), q.dtype)
         q = jnp.concatenate([q, zq], 0)
         k = jnp.concatenate([k, zq], 0)
         v = jnp.concatenate([v, zq], 0)
         pos = jnp.concatenate([pos, jnp.zeros((pad, t, 2), pos.dtype)], 0)
-        mask = jnp.concatenate([mask, jnp.zeros((pad, t, t), mask.dtype)], 0)
+        if has_mask:
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((pad, t, t), mask.dtype)], 0)
     nwp = q.shape[0]
 
     row = lambda x: x.astype(jnp.float32)[None, :]
+    qkv_spec = pl.BlockSpec((g, nh, t, hd), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec,
+                pl.BlockSpec((g, t, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    inputs = [q, k, v, pos.astype(jnp.float32)]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((g, t, t), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(mask.astype(jnp.float32))
+    in_specs += [
+        pl.BlockSpec((2, w1.shape[1]), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b1.shape[0]), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((w2.shape[0], nh), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs += [w1.astype(jnp.float32), row(b1), w2.astype(jnp.float32),
+               row(b2), row(tau)]
+
     out = pl.pallas_call(
-        _kernel,
+        lambda *refs: _kernel(refs, has_mask),
         out_shape=jax.ShapeDtypeStruct((nwp, nh, t, hd), q.dtype),
         grid=(nwp // g,),
-        in_specs=[
-            pl.BlockSpec((g, nh, t, hd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, nh, t, hd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, nh, t, hd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, t, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, t, t), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, w1.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b1.shape[0]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w2.shape[0], nh), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g, nh, t, hd), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, k, v, pos.astype(jnp.float32), mask.astype(jnp.float32),
-      w1.astype(jnp.float32), row(b1), w2.astype(jnp.float32), row(b2),
-      row(tau))
+    )(*inputs)
     return out[:nw]

@@ -155,8 +155,9 @@ def test_partner_dp2_eval_parity_and_train_step(rng):
     # reassociates conv reductions by ~1e-6 which can flip near-tie
     # assignments (same match COUNT, different pairs), moving the summed
     # loss by ~1%. Observed 1.2% after a jaxlib CPU-codegen update with no
-    # repo change; the strict invariants are the match count and train-step
-    # finiteness, the loss band is a sanity envelope.
-    np.testing.assert_allclose(float(l0), float(l1), rtol=3e-2)
+    # repo change; the band sits just above that so a real sharding bug
+    # (dropped term, wrong reduction) still trips it. Match count stays
+    # strict.
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1.5e-2)
     assert np.isfinite(float(m1["loss"]))
     assert int(m1["num_matched"]) == int(n0)

@@ -63,6 +63,12 @@ class TestSwinAttnPallas:
                          np.float32)
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        # mask=None path (unshifted blocks): no dense zeros streamed
+        a2 = list(args)
+        a2[4] = None
+        out2 = np.asarray(swin_vote_attention(*a2, interpret=True, g=2),
+                          np.float32)
+        np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-5)
 
     def test_module_kernel_path_matches_xla_path(self, rng):
         """WindowAttention with the kernel forced on == the XLA branch."""

@@ -58,7 +58,7 @@ def run_tracking(detections, infos, dataset="waymo", vehicle_only=False,
         if dataset == "waymo":
             tracker = waymo_tracker(max_age=max_age, max_dist=max_dist, **kw)
         else:
-            tracker = nusc_tracker(max_age=max_age, **kw)
+            tracker = nusc_tracker(max_age=max_age, max_dist=max_dist, **kw)
         last_t = None
         for fr in sorted(frs, key=lambda f: f["timestamp"]):
             time_lag = (0.0 if last_t is None
@@ -117,9 +117,11 @@ def main():
     max_dist = None
     if any(v is not None for v in (args.vehicle, args.pedestrian,
                                    args.cyclist)):
-        max_dist = {"VEHICLE": args.vehicle or 2.5,
-                    "PEDESTRIAN": args.pedestrian or 1.0,
-                    "CYCLIST": args.cyclist or 1.5}
+        max_dist = {
+            "VEHICLE": args.vehicle if args.vehicle is not None else 2.5,
+            "PEDESTRIAN": (args.pedestrian if args.pedestrian is not None
+                           else 1.0),
+            "CYCLIST": args.cyclist if args.cyclist is not None else 1.5}
     results = run_tracking(detections, infos, args.dataset,
                            max_dist=max_dist, score_thresh=args.score_thresh,
                            max_age=args.max_age)

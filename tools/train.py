@@ -226,10 +226,12 @@ def main():
     # a ("val", n) entry in cfg.workflow enables epoch-boundary validation
     # without the CLI flag, with n epochs of train per val pass
     wf = [tuple(w) for w in cfg.get("workflow", [])]
-    if any(m == "val" for m, *_ in wf):
+    if any(m == "val" for m, *_ in wf) and "val" in cfg.get("data", {}):
         args.validate = True
         train_epochs = sum(n for m, n in wf if m == "train")
-        if args.eval_interval is None and train_epochs:
+        # the workflow ratio only sets the interval when nothing else did
+        if (args.eval_interval is None and train_epochs
+                and cfg.get("eval_interval") is None):
             eval_interval = train_epochs
     val_dataset = None
     val_kind = val_predict = _evaluate = None
