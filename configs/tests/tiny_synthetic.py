@@ -106,6 +106,8 @@ optimizer_config = dict(grad_clip=dict(max_norm=35))
 lr_config = dict(type="one_cycle", lr_max=1e-3, moms=[0.95, 0.85],
                  div_factor=10.0, pct_start=0.4)
 checkpoint_config = dict(interval=1, keep=2)
-log_config = dict(interval=1)
+log_config = dict(interval=1,
+                  hooks=[dict(type="TextLoggerHook"),
+                         dict(type="PaviLoggerHook")])
 total_epochs = 1
 work_dir = "/tmp/partner_tiny_workdir"

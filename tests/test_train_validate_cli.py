@@ -61,3 +61,10 @@ def test_train_with_validation(rng, tmp_path, monkeypatch, caplog):
     text = caplog.text
     assert text.count("[val] epoch") >= 2, text[-2000:]
     assert "mAPH/L2" in text
+
+    # PaviLoggerHook-compat metrics sink wrote per-step JSONL records
+    import json
+    sink = os.path.join(work_dir, "metrics.jsonl")
+    assert os.path.exists(sink)
+    recs = [json.loads(l) for l in open(sink)]
+    assert recs and all("loss" in r and "step" in r for r in recs)
