@@ -434,10 +434,35 @@ class AssignLabel:
         return res, info
 
 
-@PIPELINES.register_module(name="Reformat")
-class Reformat:
+@PIPELINES.register_module(name="DoubleFlip")
+class DoubleFlip:
+    """Test-time y/x/xy point flips for the double-flip TTA
+    (/root/reference/det3d/datasets/pipelines/test_aug.py:8-32). Cartesian
+    (cuboid) layouts only — the flip configs are cartesian; the decode-side
+    averaging lives in models/center_head.double_flip_average."""
+
     def __init__(self, **kwargs):
         pass
+
+    def __call__(self, res, info):
+        pts = res["lidar"]["points"]
+        y = pts.copy()
+        y[:, 1] = -y[:, 1]
+        res["lidar"]["yflip_points"] = y
+        x = pts.copy()
+        x[:, 0] = -x[:, 0]
+        res["lidar"]["xflip_points"] = x
+        xy = pts.copy()
+        xy[:, 0] = -xy[:, 0]
+        xy[:, 1] = -xy[:, 1]
+        res["lidar"]["double_flip_points"] = xy
+        return res, info
+
+
+@PIPELINES.register_module(name="Reformat")
+class Reformat:
+    def __init__(self, double_flip=False, **kwargs):
+        self.double_flip = double_flip
 
     def __call__(self, res, info):
         meta = res.get("metadata")
@@ -462,4 +487,8 @@ class Reformat:
             bundle.update(res["lidar"]["targets"])
         if "pc_label" in res["lidar"]:
             bundle["pc_label"] = res["lidar"]["pc_label"]
+        if self.double_flip:
+            for k in ("yflip_points", "xflip_points", "double_flip_points"):
+                if k in res["lidar"]:
+                    bundle[k] = res["lidar"][k]
         return bundle, info

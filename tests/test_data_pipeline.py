@@ -173,3 +173,46 @@ class TestAugment:
         assert coll[0, 1] and coll[1, 0]
         assert not coll[0, 2] and not coll[1, 2]
         assert coll[0, 0]  # self-overlap true (diag filtered by caller)
+
+
+class TestDoubleFlipStage:
+    def test_flip_variants_and_reformat(self, rng):
+        from partner_tpu.data.pipeline import DoubleFlip, Reformat
+
+        pts = rng.randn(100, 5).astype(np.float32)
+        res = {"mode": "val", "metadata": {"token": "t"},
+               "lidar": {"points": pts.copy(), "voxels": {}}}
+        res, _ = DoubleFlip()(res, {})
+        np.testing.assert_array_equal(res["lidar"]["yflip_points"][:, 1],
+                                      -pts[:, 1])
+        np.testing.assert_array_equal(res["lidar"]["xflip_points"][:, 0],
+                                      -pts[:, 0])
+        np.testing.assert_array_equal(
+            res["lidar"]["double_flip_points"][:, :2], -pts[:, :2])
+        # untouched columns
+        np.testing.assert_array_equal(res["lidar"]["yflip_points"][:, 2:],
+                                      pts[:, 2:])
+
+        bundle, _ = Reformat(double_flip=True)(res, {})
+        assert {"yflip_points", "xflip_points",
+                "double_flip_points"} <= set(bundle)
+        bundle2, _ = Reformat()(res, {})
+        assert "yflip_points" not in bundle2
+
+    def test_flip_config_test_pipeline_composes(self):
+        """The dcn_flip config's test_pipeline builds through the registry
+        (the stage the config names must exist)."""
+        import os
+
+        import partner_tpu.data.pipeline  # registers stages
+        from partner_tpu.data.registry import Compose
+        from partner_tpu.train.config import Config
+
+        cfg = Config.fromfile(os.path.join(
+            os.path.dirname(__file__), "..", "configs", "nusc", "voxelnet",
+            "nusc_centerpoint_voxelnet_dcn_flip.py"))
+        stages = [dict(s) for s in cfg.test_pipeline]
+        # drop the IO stages that need dataset files on disk
+        stages = [s for s in stages if not s["type"].startswith("Load")]
+        pipe = Compose(stages)
+        assert pipe is not None
