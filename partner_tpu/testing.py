@@ -80,6 +80,49 @@ def synthetic_polar_scene(rng, pc_range, n_points, n_boxes=2):
     return boxes, box_np_ops.transform_points(pts, "cuboid")[:, :4]
 
 
+def make_flagship_example(rng, grid, pc_range, voxel_size, b=2,
+                          n_points=1200, cap=2048, point_dim=7,
+                          max_objs=8, out_size_factor=8):
+    """Fixed-shape synthetic batch for the flagship point fast path.
+
+    The PolarDenseFHD backbone consumes raw padded points (cylinder
+    layout [rho, phi, z, x, y, *extra], box_np_ops.transform_points);
+    the E2E head's loss consumes ``global_box`` / ``votemap_flat``
+    (reference e2e_swv_head.py:203-262 target contract)."""
+    gt = np.zeros((b, max_objs, 8), np.float32)
+    all_pts, all_pm, votemaps = [], [], []
+    for i in range(b):
+        boxes, cart = synthetic_polar_scene(rng, pc_range, n_points)
+        polar = box_np_ops.transform_points(cart[:, :3], "cylinder")
+        extra = cart[:, 3:]
+        while polar.shape[1] + extra.shape[1] < point_dim:
+            extra = np.concatenate(
+                [extra, rng.rand(len(polar), 1).astype(np.float32)], 1)
+        polar = np.concatenate([polar, extra], 1)[:, :point_dim]
+        gt[i, : len(boxes), :7] = boxes
+        gt[i, : len(boxes), 7] = 1
+        pad = np.zeros((cap, point_dim), np.float32)
+        m = np.zeros((cap,), bool)
+        k = min(len(polar), cap)
+        pad[:k] = polar[:k]
+        m[:k] = True
+        all_pts.append(pad)
+        all_pm.append(m)
+        votemaps.append(
+            targets.draw_votemap(boxes, np.zeros(len(boxes)), 1, grid,
+                                 voxel_size, pc_range, out_size_factor)
+        )
+    return {
+        "points": jnp.asarray(np.stack(all_pts)),
+        "points_mask": jnp.asarray(np.stack(all_pm)),
+        "global_box": jnp.asarray(gt),
+        "global_box_mask": jnp.asarray(gt[..., 7] > 0),
+        "votemap_flat": jnp.asarray(
+            np.stack(votemaps).reshape(b, -1, votemaps[0].shape[-1])
+        ),
+    }
+
+
 def make_example(rng, b=2, n_points=3000, cap=4096, grid=None, pc_range=None,
                  voxel_size=None, max_objs=8, point_dim=5):
     """Fixed-shape synthetic training batch for the tiny detector."""
