@@ -49,6 +49,15 @@ class PointCloudDataset:
     def __len__(self):
         return len(self.infos)
 
+    @property
+    def flag(self):
+        """Group id per sample for the group-aware sampler (reference
+        custom.py:159-165 sets a constant flag; concatenated mixed
+        datasets override with per-source groups)."""
+        if getattr(self, "_flag", None) is None:
+            self._flag = np.zeros(len(self), dtype=np.uint8)
+        return self._flag
+
     def base_res(self, info):
         return {
             "lidar": {"type": "lidar", "points": None, "annotations": None,
@@ -68,6 +77,51 @@ class PointCloudDataset:
         res = self.base_res(info)
         data, _ = self.pipeline(res, info)
         return data
+
+
+@DATASETS.register_module(name="ConcatDataset")
+class ConcatDataset:
+    """Concatenation of datasets; each source is its own sampler group
+    (reference dataset_wrappers.py:10-28 concatenates per-dataset flags
+    offset by source index, which is what makes GroupSampler batch
+    within a source)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.cum = np.cumsum([len(d) for d in self.datasets])
+        flags = []
+        for i, d in enumerate(self.datasets):
+            f = getattr(d, "flag", np.zeros(len(d), np.uint8))
+            f = np.asarray(f).astype(np.int64)
+            offset = 1 + (f.max() if len(f) else 0)
+            flags.append(f + i * offset)
+        self.flag = (np.concatenate(flags) if flags
+                     else np.zeros(0, np.int64))
+
+    def __len__(self):
+        return int(self.cum[-1]) if len(self.datasets) else 0
+
+    def __getitem__(self, idx):
+        src = int(np.searchsorted(self.cum, idx, side="right"))
+        base = int(self.cum[src - 1]) if src else 0
+        return self.datasets[src][idx - base]
+
+
+@DATASETS.register_module(name="RepeatDataset")
+class RepeatDataset:
+    """len(dataset) * times virtual epochs (dataset_wrappers.py:31-52)."""
+
+    def __init__(self, dataset, times):
+        self.dataset = dataset
+        self.times = times
+        f = getattr(dataset, "flag", np.zeros(len(dataset), np.uint8))
+        self.flag = np.tile(np.asarray(f), times)
+
+    def __len__(self):
+        return len(self.dataset) * self.times
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % len(self.dataset)]
 
 
 @DATASETS.register_module(name="WaymoDataset")

@@ -45,16 +45,74 @@ class EpochSampler:
         return shard
 
 
+class GroupSampler:
+    """Group-aware epoch-seeded sampler: reference DistributedGroupSampler
+    semantics (/root/reference/det3d/datasets/loader/sampler.py:139-223).
+
+    Every run of ``batch_size`` consecutive indices is homogeneous in the
+    dataset's ``flag`` group (the reference batches within aspect/source
+    groups so mixed-aspect concatenated datasets never mix in a batch):
+    per group, shuffle; pad to a multiple of batch_size*num_hosts by
+    repeating the head; concatenate; permute at batch-chunk granularity;
+    each host takes a contiguous ``num_samples`` slice. The same
+    (seed, epoch) always produces the same permutation, so an epoch
+    replays identically across checkpoint resume."""
+
+    def __init__(self, flag, batch_size, num_hosts=1, host_id=0, seed=0):
+        self.flag = np.asarray(flag).astype(np.int64)
+        self.batch_size = batch_size
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.seed = seed
+        self.group_sizes = np.bincount(self.flag)
+        self.num_samples = int(sum(
+            int(np.ceil(s / (batch_size * num_hosts))) * batch_size
+            for s in self.group_sizes
+        ))
+        self.total_size = self.num_samples * num_hosts
+
+    def indices(self, epoch):
+        rng = np.random.RandomState(self.seed + epoch)
+        chunks = []
+        for g, size in enumerate(self.group_sizes):
+            if size == 0:
+                continue
+            idx = np.where(self.flag == g)[0]
+            idx = idx[rng.permutation(size)]
+            target = (int(np.ceil(size / (self.batch_size * self.num_hosts)))
+                      * self.batch_size * self.num_hosts)
+            idx = np.concatenate([idx, idx[: target - size]])
+            chunks.append(idx)
+        allidx = np.concatenate(chunks)
+        nb = len(allidx) // self.batch_size
+        allidx = allidx.reshape(nb, self.batch_size)[rng.permutation(nb)]
+        allidx = allidx.reshape(-1)
+        off = self.num_samples * self.host_id
+        return allidx[off : off + self.num_samples]
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=2,
                  max_points=200000, num_hosts=1, host_id=0, seed=0,
-                 prefetch=4, collate_fn=None):
+                 prefetch=4, collate_fn=None, group_by_flag=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_points = max_points
-        self.sampler = EpochSampler(
-            len(dataset), batch_size, shuffle, num_hosts, host_id, seed
-        )
+        flag = getattr(dataset, "flag", None)
+        if group_by_flag is None:
+            # group-aware only when the dataset declares >1 group — with a
+            # single group GroupSampler degenerates to EpochSampler
+            group_by_flag = (
+                shuffle and flag is not None and len(np.unique(flag)) > 1
+            )
+        if group_by_flag:
+            self.sampler = GroupSampler(
+                flag, batch_size, num_hosts, host_id, seed
+            )
+        else:
+            self.sampler = EpochSampler(
+                len(dataset), batch_size, shuffle, num_hosts, host_id, seed
+            )
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.collate_fn = collate_fn or (

@@ -16,6 +16,7 @@ interval overlap with boxes [x, y, z, dx, dy, dz, yaw] (z = center).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.geometry import center_to_corner_box2d
 
@@ -182,9 +183,14 @@ def rect_intersection_area_sh(box_a, box_b):
     return jnp.where(ok, area, 0.0)
 
 
-_CORNER_TMPL = jnp.asarray(
-    [[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]], jnp.float32
-)  # CCW unit-square corners
+# CCW unit-square corners. Plain numpy on purpose: a module-level
+# jnp.asarray dispatches to the default device at IMPORT time, which
+# initializes the backend — and hangs every `import partner_tpu` (CLIs,
+# loaders) when the remote-TPU tunnel is down. jnp ops consume the numpy
+# constant with identical semantics (traced as a literal).
+_CORNER_TMPL = np.asarray(
+    [[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]], np.float32
+)
 
 
 def _clip_aa(p0, p1, h, eps_par=1e-5, eps_c=1e-4):
