@@ -59,8 +59,17 @@ class CenterCoder:
         """Element-wise regression residual gt_encoded - preds.
 
         gt_boxes are raw (..., 7+); preds are already in encoded space.
+        In plain-angle mode the reference regresses yaw/period, not raw
+        yaw (box_coder_utils.py:213, mirrored by decode's rt*period at
+        :240 — the reference's encode() at :134 is the inconsistent one).
         """
-        return self.encode(gt_boxes) - preds
+        enc = self.encode(gt_boxes)
+        if not self.encode_angle_by_sincos:
+            enc = jnp.concatenate(
+                [enc[..., :6], enc[..., 6:7] / self.period, enc[..., 7:]],
+                axis=-1,
+            )
+        return enc - preds
 
     def decode(self, preds):
         """Encoded predictions -> raw boxes [x, y, z, dx, dy, dz, yaw, ...]."""

@@ -31,6 +31,15 @@ def _identity_dec(*a, **k):
 
 
 def _install_stubs():
+    # py3.10+ removed the collections.* ABC aliases the reference's
+    # solver/optim.py still imports; restore them for execution only
+    import collections
+    import collections.abc
+
+    for _abc in ("Iterable", "Mapping", "Sequence", "Container"):
+        if not hasattr(collections, _abc):
+            setattr(collections, _abc, getattr(collections.abc, _abc))
+
     numba = types.ModuleType("numba")
     numba.jit = _identity_dec
     numba.njit = _identity_dec
@@ -42,9 +51,16 @@ def _install_stubs():
         setattr(numba.errors, w, Warning)
     numba.cuda = types.ModuleType("numba.cuda")
     numba.cuda.jit = _identity_dec
+    numba.cuda.__path__ = []  # mark as package for submodule stubs
+    numba.cuda.simulator = types.ModuleType("numba.cuda.simulator")
+    numba.cuda.simulator.api = types.ModuleType("numba.cuda.simulator.api")
+    numba.cuda.simulator.api.detect = lambda *a, **k: False
     sys.modules.setdefault("numba", numba)
     sys.modules.setdefault("numba.errors", numba.errors)
     sys.modules.setdefault("numba.cuda", numba.cuda)
+    sys.modules.setdefault("numba.cuda.simulator", numba.cuda.simulator)
+    sys.modules.setdefault("numba.cuda.simulator.api",
+                           numba.cuda.simulator.api)
 
     mods = {
         "torchvision": {},
@@ -67,6 +83,17 @@ def _install_stubs():
         "matplotlib.pyplot": {},
         "torch_scatter": {"scatter_mean": None, "scatter_max": None,
                           "scatter_add": None},
+        "nuscenes": {},
+        "nuscenes.utils": {},
+        "nuscenes.utils.geometry_utils": {"transform_matrix": None},
+        "nuscenes.utils.data_classes": {"Box": object},
+        "nuscenes.nuscenes": {"NuScenes": object},
+        "nuscenes.eval": {},
+        "nuscenes.eval.detection": {},
+        "nuscenes.eval.detection.config": {"config_factory": None},
+        "tqdm": {"tqdm": lambda x, *a, **k: x},
+        "fire": {"Fire": None},
+        "pyquaternion": {"Quaternion": object},
     }
     for name, attrs in mods.items():
         if name in sys.modules:
@@ -90,6 +117,27 @@ def load_reference_modules():
     from det3d.models.necks.rpn import RPN
     from det3d.models.bbox_heads.center_head import CenterHead, SepHead
     return RPN, CenterHead, SepHead
+
+
+def load_reference_assigner():
+    """Returns (AssignLabel class, _Addict) — the reference's numpy target
+    assigner (det3d/datasets/pipelines/preprocess.py:155-437), executable
+    on CPU for golden-fixture parity."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    from det3d.datasets.pipelines.preprocess import AssignLabel
+    return AssignLabel, _Addict
+
+
+def load_reference_center_coder():
+    """Returns the reference CenterCoder torch class
+    (det3d/models/e2e_utils/box_coder_utils.py:64-277)."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    from det3d.models.e2e_utils.box_coder_utils import CenterCoder
+    return CenterCoder
 
 
 def load_reference_set_transformer():

@@ -1,0 +1,188 @@
+"""Golden-fixture parity against the EXECUTED reference.
+
+Runs the reference's own numpy target assigner
+(det3d/datasets/pipelines/preprocess.py:253-437) and torch CenterCoder
+(det3d/models/e2e_utils/box_coder_utils.py:64-277) on fixed scenes and
+asserts our arrays match bit-for-bit (within float tolerance) — closing
+the self-graded loop on the accuracy-critical target/coder math.
+"""
+
+import numpy as np
+import pytest
+
+from partner_tpu.core.center_coder import CenterCoder as OurCoder
+from partner_tpu.core.targets import CenterTargetAssigner
+
+from reference_loader import load_reference_assigner, load_reference_center_coder
+
+PR = np.asarray([0.3, -3.14368, -2.0, 75.18, 3.14368, 4.0], np.float32)
+GRID = np.asarray([144, 256, 40])
+VS = np.asarray(
+    [(PR[3] - PR[0]) / 144, (PR[4] - PR[1]) / 256, (PR[5] - PR[2]) / 40],
+    np.float32,
+)
+
+
+def _scene_boxes():
+    """Fixed scene with the edge cases that matter: far-range radius
+    shrink (r > 30), azimuth near +-pi (ct clip), a box beyond the radial
+    range (skipped), near-origin wide box, 9-col velocity layout."""
+    b = np.array([
+        # x, y, z, dx, dy, dz, vx, vy, yaw
+        [10.0, 3.0, 0.2, 4.5, 2.0, 1.6, 1.0, -0.5, 0.3],
+        [-28.0, -18.0, -0.1, 4.2, 1.9, 1.5, 0.0, 2.0, -1.0],   # r ~ 33 > 30
+        [-40.0, -0.5, 0.4, 5.0, 2.2, 1.8, -1.0, 0.0, 3.0],     # az near pi
+        [74.0, 30.0, 0.0, 4.0, 2.0, 1.7, 0.5, 0.5, 1.2],       # r ~ 80 > range
+        [1.2, 0.4, -0.3, 6.0, 2.5, 1.9, 0.0, 0.0, 2.9],        # near origin
+        [20.0, -20.0, 0.1, 3.9, 1.8, 1.4, -2.0, 1.0, -2.8],
+    ], np.float32)
+    cls = np.ones(len(b), np.int64)
+    return b, cls
+
+
+def _run_reference(boxes, classes, rectify, tasks_spec, dataset="WaymoDataset"):
+    AssignLabel, Addict = load_reference_assigner()
+    cfg = Addict()
+    cfg["out_size_factor"] = 8
+    cfg["target_assigner"] = Addict()
+    cfg["target_assigner"]["tasks"] = [
+        Addict(num_class=len(cn), class_names=list(cn)) for cn in tasks_spec
+    ]
+    cfg["gaussian_overlap"] = 0.1
+    cfg["max_objs"] = 50
+    cfg["min_radius"] = 2
+    cfg["voxel_shape"] = "cylinder"
+    al = AssignLabel(cfg=cfg, rectify=rectify)
+    names = np.asarray(
+        [tasks_spec[0][0] if c == 1 else "Other" for c in classes]
+    )
+    res = {
+        "mode": "train",
+        "type": dataset,
+        "lidar": {
+            "voxels": {"shape": GRID.copy(), "range": PR.copy(),
+                       "size": VS.copy()},
+            "annotations": {"gt_boxes": boxes.copy(),
+                            "gt_classes": classes.copy(),
+                            "gt_names": names},
+        },
+    }
+    res = al.assign_centerpoint(res)
+    return res["lidar"]["targets"]
+
+
+def _run_ours(boxes, classes, rectify, tasks_spec):
+    asg = CenterTargetAssigner(
+        tasks=[dict(num_class=len(cn), class_names=list(cn))
+               for cn in tasks_spec],
+        out_size_factor=8, gaussian_overlap=0.1, max_objs=50, min_radius=2,
+        voxel_shape="cylinder", rectify=rectify,
+    )
+    return asg.assign(boxes.copy(), classes.copy(), GRID, VS, PR)
+
+
+@pytest.mark.parametrize("rectify", [False, True])
+def test_polar_heatmap_assignment_matches_reference(rectify):
+    boxes, classes = _scene_boxes()
+    ref = _run_reference(boxes, classes, rectify, [["Vehicle"]])
+    ours = _run_ours(boxes, classes, rectify, [["Vehicle"]])
+    for t in range(1):
+        np.testing.assert_allclose(
+            ours["hm"][t], ref["hm"][t], atol=1e-5,
+            err_msg="polar heatmap differs from executed reference")
+        np.testing.assert_array_equal(ours["ind"][t], ref["ind"][t])
+        np.testing.assert_array_equal(ours["mask"][t], ref["mask"][t])
+        np.testing.assert_array_equal(ours["cat"][t], ref["cat"][t])
+        np.testing.assert_allclose(
+            ours["anno_box"][t], ref["anno_box"][t], atol=1e-4,
+            err_msg="anno_box regression targets differ")
+    # the out-of-range box must have been skipped by both
+    assert ref["mask"][0].sum() == 5
+
+
+def test_polar_assignment_two_tasks_matches_reference():
+    """Two tasks, multi-class second task; inputs pre-sorted by class so
+    the reference's class-grouped ordering (preprocess.py:377-394)
+    coincides with our order-preserving split."""
+    boxes, _ = _scene_boxes()
+    boxes = boxes[:5]
+    classes = np.array([1, 1, 2, 2, 3], np.int64)  # task0: cls1; task1: cls2,3
+    spec = [["Vehicle"], ["Ped", "Cyc"]]
+    ref = _run_reference(boxes, classes, False, spec)
+    ours = _run_ours(boxes, classes, False, spec)
+    for t in range(2):
+        np.testing.assert_allclose(ours["hm"][t], ref["hm"][t], atol=1e-5)
+        np.testing.assert_array_equal(ours["ind"][t], ref["ind"][t])
+        np.testing.assert_array_equal(ours["cat"][t], ref["cat"][t])
+        np.testing.assert_allclose(ours["anno_box"][t], ref["anno_box"][t],
+                                   atol=1e-4)
+
+
+class TestCenterCoderParity:
+    def _boxes_preds(self, sincos, n=16, code_size=7):
+        rng = np.random.RandomState(3)
+        gt = np.zeros((n, code_size), np.float32)
+        gt[:, 0] = rng.uniform(-60, 60, n)
+        gt[:, 1] = rng.uniform(-60, 60, n)
+        gt[:, 2] = rng.uniform(-2, 2, n)
+        gt[:, 3:6] = rng.uniform(0.5, 6, (n, 3))
+        gt[:, 6] = rng.uniform(-2 * np.pi, 2 * np.pi, n)
+        preds = rng.randn(n, code_size + (1 if sincos else 0)).astype(
+            np.float32)
+        return gt, preds
+
+    @pytest.mark.parametrize("sincos", [True, False])
+    @pytest.mark.parametrize("rectify", [False, True])
+    def test_get_delta_matches_reference(self, sincos, rectify):
+        import torch
+
+        RefCoder = load_reference_center_coder()
+        gt, preds = self._boxes_preds(sincos)
+        ref = RefCoder(code_size=7, encode_angle_by_sincos=sincos,
+                       rectify=rectify)
+        ours = OurCoder(code_size=7, encode_angle_by_sincos=sincos,
+                        rectify=rectify)
+        want = ref.get_delta(torch.from_numpy(gt),
+                             torch.from_numpy(preds)).numpy()
+        got = np.asarray(ours.get_delta(gt, preds))
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg="get_delta parity")
+
+    @pytest.mark.parametrize("sincos", [True, False])
+    def test_decode_matches_reference(self, sincos):
+        import torch
+
+        RefCoder = load_reference_center_coder()
+        rng = np.random.RandomState(5)
+        preds = rng.randn(12, 7 + (1 if sincos else 0)).astype(np.float32)
+        ref = RefCoder(code_size=7, encode_angle_by_sincos=sincos)
+        ours = OurCoder(code_size=7, encode_angle_by_sincos=sincos)
+        want = ref.decode_torch(torch.from_numpy(preds)).numpy()
+        got = np.asarray(ours.decode(preds))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_encode_matches_reference_sincos(self):
+        import torch
+
+        RefCoder = load_reference_center_coder()
+        gt, _ = self._boxes_preds(True)
+        # reference encode() consumes a LIST of per-scene tensors
+        want = RefCoder(code_size=7, encode_angle_by_sincos=True).encode(
+            [torch.from_numpy(gt)])[0].numpy()
+        got = np.asarray(
+            OurCoder(code_size=7, encode_angle_by_sincos=True).encode(gt))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_zero_dim_boxes_clamped(self):
+        import torch
+
+        RefCoder = load_reference_center_coder()
+        gt = np.zeros((3, 7), np.float32)  # degenerate zero-size boxes
+        preds = np.zeros((3, 8), np.float32)
+        want = RefCoder(code_size=7, encode_angle_by_sincos=True).get_delta(
+            torch.from_numpy(gt), torch.from_numpy(preds)).numpy()
+        got = np.asarray(
+            OurCoder(code_size=7, encode_angle_by_sincos=True).get_delta(
+                gt, preds))
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, atol=1e-4)
