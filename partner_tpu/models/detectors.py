@@ -241,6 +241,21 @@ class E2EDetector(Detector):
         )
 
 
+def apply_seg_decay(det_total, seg, example):
+    """Curriculum seg-loss decay: total = det + seg * decay, with the
+    per-epoch decay threaded through example['seg_loss_decay'] by
+    tools/train.py from cfg.curriculum_weights; decay < 0 dynamically
+    balances seg against the det loss (reference trainer.py:430-434 +
+    parse_second_losses trainer.py:116-137). Logged seg_loss stays
+    undecayed, like the reference's log_vars."""
+    decay = example.get("seg_loss_decay")
+    if decay is None:
+        return det_total + seg
+    decay = jnp.asarray(decay, jnp.float32)
+    dyn = jax.lax.stop_gradient(det_total / (seg + 1e-6))
+    return det_total + seg * jnp.where(decay < 0, dyn, decay)
+
+
 class CenterPointDetector(Detector):
     """VoxelNet + CenterHead family (FastFocal + peak regression), with
     optional semantic segmentation (det+seg / seg-only per super_tasks,
@@ -292,7 +307,7 @@ class CenterPointDetector(Detector):
         if "seg_preds" in preds and "points_label" in example:
             sl = self._seg_loss(preds, example)
             ld["seg_loss"] = sl
-            ld["loss"] = ld["loss"] + sl
+            ld["loss"] = apply_seg_decay(ld["loss"], sl, example)
         return ld, updates
 
     def predict(self, variables, example):

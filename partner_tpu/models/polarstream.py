@@ -398,7 +398,9 @@ class PolarStreamDetector(Detector):
                 seg_total = seg_total + seg_loss(
                     sp, labels, weight=self.seg_weight)
             logs["seg_loss"] = seg_total / n_sec
-            total = total + seg_total
+            from .detectors import apply_seg_decay
+
+            total = apply_seg_decay(total, seg_total, example)
         logs["loss"] = total / n_sec
         return logs, updates
 

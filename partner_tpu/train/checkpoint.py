@@ -67,9 +67,80 @@ def latest_checkpoint(work_dir):
     return path if rio.exists(_join(path, "state.pkl")) else None
 
 
+def _model_zoo():
+    """Name -> URI registry for ``modelzoo://<name>`` checkpoints.
+
+    Reference load_checkpoint resolves modelzoo/torchvision/open-mmlab
+    names through baked-in URL tables (torchie/trainer/checkpoint.py:
+    136-151); here the table is a JSON file ({name: uri}) pointed at by
+    PARTNER_TPU_MODEL_ZOO (default ~/.cache/partner_tpu/model_zoo.json)
+    so deployments can publish their own zoo without code changes."""
+    zoo_path = os.environ.get(
+        "PARTNER_TPU_MODEL_ZOO",
+        os.path.expanduser("~/.cache/partner_tpu/model_zoo.json"),
+    )
+    if not os.path.exists(zoo_path):
+        return {}
+    with open(zoo_path) as f:
+        return json.load(f)
+
+
+def _download_cached(url):
+    """Fetch a checkpoint URL into the local cache once; atomic rename so
+    concurrent hosts never see a partial file (the reference defers to
+    torch.utils.model_zoo's equivalent cache, checkpoint.py:98-109)."""
+    import hashlib
+    import urllib.parse
+    import urllib.request
+
+    cache_dir = os.environ.get(
+        "PARTNER_TPU_CACHE",
+        os.path.expanduser("~/.cache/partner_tpu/checkpoints"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    base = os.path.basename(urllib.parse.urlparse(url).path) or "ckpt.pkl"
+    dest = os.path.join(
+        cache_dir, hashlib.sha1(url.encode()).hexdigest()[:16] + "_" + base
+    )
+    if not os.path.exists(dest):
+        tmp = dest + ".part"
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, dest)
+    return dest
+
+
+def resolve_checkpoint_uri(path):
+    """modelzoo://name -> registered URI; http(s)/file URLs -> cached
+    local file; everything else passes through (local / remote-fs)."""
+    if path.startswith("modelzoo://"):
+        name = path[len("modelzoo://"):]
+        zoo = _model_zoo()
+        if name not in zoo:
+            raise KeyError(
+                f"model zoo has no entry {name!r} "
+                f"(registry: PARTNER_TPU_MODEL_ZOO json)"
+            )
+        path = zoo[name]
+    if path.startswith(("http://", "https://", "file://")):
+        return _download_cached(path)
+    return path
+
+
 def load_checkpoint(path):
+    """Load from a step directory, a bare state.pkl file, a URL, or a
+    modelzoo:// name (reference checkpoint.py:122-175 URI surface)."""
     from ..utils import remote_io as rio
 
+    path = resolve_checkpoint_uri(path)
+    if os.path.isfile(path):  # downloaded / direct payload file
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        meta_path = os.path.join(os.path.dirname(path), "meta.json")
+        meta = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return payload, meta
     payload = pickle.loads(rio.read_bytes(_join(path, "state.pkl")))
     meta_path = _join(path, "meta.json")
     meta = None

@@ -236,6 +236,11 @@ def main():
     val_dataset = None
     val_kind = val_predict = _evaluate = None
 
+    # per-epoch seg-loss curriculum (reference apis/train.py:341 +
+    # trainer.py:430-434); entries beyond the list fall back to 1.0,
+    # negative entries dynamically balance seg against det loss
+    curriculum = cfg.get("curriculum_weights")
+
     step_i = start_step
     epoch = step_i // max(steps_per_epoch, 1)
     while step_i < total_steps:
@@ -250,6 +255,9 @@ def main():
                 logger.info(f"profiler trace written to {args.profile_dir}")
             data_time = timer.lap()
             ex = example_to_device(batch, None, det)
+            if curriculum is not None:
+                w = (curriculum[epoch] if epoch < len(curriculum) else 1.0)
+                ex["seg_loss_decay"] = np.float32(w)
             transfer_time = timer.lap()
             rng, sub = jax.random.split(rng)
             state, metrics = jstep(state, ex, sub)
