@@ -303,6 +303,44 @@ def main():
     # same compiled fn, uniform-volume point spread for comparison
     fps_uniform = max(measure(jnp.asarray(pad_u), jnp.asarray(mask_u)))
 
+    # ---- throughput mode: two frames per dispatch -------------------
+    # On one TPU core ops in a program run sequentially, so the "overlap
+    # the scatter with the previous frame's trunk" lever (PERF.md) is
+    # realized as 2-frame batching: one dispatch (~1.7 ms tunnel floor)
+    # and one fixed-cost scatter setup amortized over two frames, at 2x
+    # per-frame latency. Reported separately; the headline stays the
+    # honest batch-1 protocol of the reference (dist_test.py:155-168).
+    fps_batch2 = None
+    if os.environ.get("BENCH_BATCH2", "1") != "0" and point_path:
+        try:
+            pts2 = jnp.stack([pad_j, jnp.asarray(pad_u)])
+            msk2 = jnp.stack([mask_j, jnp.asarray(mask_u)])
+
+            @jax.jit
+            def frame2(variables, points, pmask):
+                example = {"points": points, "points_mask": pmask}
+                return det.predict(variables, example)
+
+            def sync2(out):
+                np.asarray(out["scores"][0, :1])
+
+            _stage("compile_infer_batch2")
+            sync2(frame2(variables, pts2, msk2))
+            _stage("measure_infer_batch2")
+            best = 0.0
+            for _ in range(2):
+                for _ in range(third):
+                    out = frame2(variables, pts2, msk2)
+                sync2(out)
+                t0 = time.perf_counter()
+                for _ in range(third):
+                    out = frame2(variables, pts2, msk2)
+                sync2(out)
+                best = max(best, 2 * third / (time.perf_counter() - t0))
+            fps_batch2 = best
+        except Exception as e:
+            _log(f"batch2 bench failed ({type(e).__name__}: {e}); omitting")
+
     # MFU from XLA's own cost analysis of the per-frame executable
     from partner_tpu.utils import flops as flops_util
 
@@ -332,6 +370,8 @@ def main():
         "fps_windows": [round(v, 3) for v in windows],
         "pallas": os.environ.get("PARTNER_TPU_PALLAS", "0"),
     }
+    if fps_batch2 is not None:
+        payload["fps_batch2"] = round(fps_batch2, 3)
     if train_step_ms is not None:
         payload["train_step_ms"] = round(train_step_ms, 2)
     _emit(payload, 0)
