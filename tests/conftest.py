@@ -21,7 +21,33 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
+import json
+
 import pytest
+
+_DURATIONS = None
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tiered suite: tests whose measured wall time exceeds
+    PARTNER_SLOW_THRESHOLD (default 5 s) are auto-marked ``slow`` from the
+    checked-in manifest, so ``pytest -m "not slow"`` is a <5-min smoke
+    tier on this 1-core host. Regenerate the manifest once per round:
+      pytest tests/ -q --durations=0 > log && python tools/update_durations.py log
+    Unmeasured (new) tests default to the fast tier until re-measured."""
+    global _DURATIONS
+    if _DURATIONS is None:
+        path = os.path.join(os.path.dirname(__file__), "durations.json")
+        _DURATIONS = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for k, v in json.load(f).items():
+                    _DURATIONS[k.split("tests/", 1)[-1]] = v
+    thr = float(os.environ.get("PARTNER_SLOW_THRESHOLD", "5"))
+    for item in items:
+        nodeid = item.nodeid.split("tests/", 1)[-1]
+        if _DURATIONS.get(nodeid, 0.0) > thr:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture
