@@ -76,15 +76,28 @@ def draw_gaussian(heatmap, center, radius, k=1.0):
     return heatmap
 
 
+def det3d_corner_box2d(gt_boxes):
+    """BEV corners in the reference's chirality.
+
+    det3d's rotation_2d rotates CLOCKWISE for positive yaw (KITTI
+    lineage; its data ingestion negates the raw heading to compensate,
+    waymo_common.py:268-269). This framework stores raw CCW-physical
+    headings and rotates CCW everywhere — so reproducing the reference's
+    corner-derived target extents bit-for-bit means negating the angle
+    here: ours(-theta) == reference(theta) pointwise (golden-tested in
+    tests/test_golden_reference_parity.py)."""
+    return box_np_ops.center_to_corner_box2d(
+        gt_boxes[:, :2], gt_boxes[:, 3:5], angles=-gt_boxes[:, 6]
+    )
+
+
 def polar_box_extents(gt_boxes):
     """(rho, phi) extents of BEV box corners.
 
     Returns (min_rho, max_rho, min_phi, max_phi), each (N,). Matches the
-    corner->polar-extent math of preprocess.py:266-276.
-    """
-    corners = box_np_ops.center_to_corner_box2d(
-        gt_boxes[:, :2], gt_boxes[:, 3:5], angles=gt_boxes[:, 6]
-    )
+    corner->polar-extent math of preprocess.py:266-276 exactly, including
+    the reference's corner chirality (det3d_corner_box2d)."""
+    corners = det3d_corner_box2d(gt_boxes)
     rhos = np.linalg.norm(corners, axis=-1)
     phis = np.arctan2(corners[:, :, 1], corners[:, :, 0])
     return rhos.min(1), rhos.max(1), phis.min(1), phis.max(1)
@@ -289,9 +302,7 @@ def draw_votemap(gt_boxes, gt_classes, num_classes, grid_size, voxel_size,
     r_ind = ((crho - pc_range[0]) / vs_r / feature_map_stride).astype(np.int32)
     a_ind = ((cphi - pc_range[1]) / vs_a / feature_map_stride).astype(np.int32)
 
-    corners = box_np_ops.center_to_corner_box2d(
-        gt_boxes[:, :2], gt_boxes[:, 3:5], angles=gt_boxes[:, 6]
-    )
+    corners = det3d_corner_box2d(gt_boxes)
     corner_phis = np.arctan2(corners[:, :, 1], corners[:, :, 0])
 
     for k in range(min(num_max_objs, gt_boxes.shape[0])):

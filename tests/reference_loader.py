@@ -140,6 +140,16 @@ def load_reference_center_coder():
     return CenterCoder
 
 
+def load_reference_gt_processor():
+    """Returns (GroundTruthProcessor, _Addict) — the reference's torch
+    votemap/gt splitter (det3d/models/bbox_heads/e2e_modules.py:11-148)."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    from det3d.models.bbox_heads.e2e_modules import GroundTruthProcessor
+    return GroundTruthProcessor, _Addict
+
+
 def load_reference_set_transformer():
     """Returns the reference set_transformer module (pure torch,
     det3d/models/utils/set_transformer.py) for PARTNER attention parity."""

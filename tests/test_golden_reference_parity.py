@@ -118,6 +118,69 @@ def test_polar_assignment_two_tasks_matches_reference():
                                    atol=1e-4)
 
 
+class TestVotemapParity:
+    """Our targets.draw_votemap vs the executed reference
+    GroundTruthProcessor.draw_votemap (e2e_modules.py:96-148 +
+    centernet_utils.draw_center_to_votemap), including the azimuth
+    truncation for near-origin boxes whose corners wrap +-pi."""
+
+    def _ref_votemap(self, boxes, classes, num_class):
+        import torch
+
+        from reference_loader import load_reference_gt_processor
+
+        GTP, Addict = load_reference_gt_processor()
+        cfg = Addict()
+        cfg["tasks"] = [Addict(num_class=num_class,
+                               class_names=[f"c{i}" for i in range(num_class)])]
+        cfg["mapping"] = {f"c{i}": i + 1 for i in range(num_class)}
+        cfg["generate_votemap"] = True
+        cfg["max_volumn_space"] = [float(PR[3]), float(PR[4]), float(PR[5])]
+        cfg["min_volumn_space"] = [float(PR[0]), float(PR[1]), float(PR[2])]
+        cfg["grid_size"] = GRID.tolist()
+        cfg["feature_map_stride"] = 8
+        gtp = GTP(cfg)
+        return gtp.draw_votemap(
+            torch.from_numpy(boxes), torch.from_numpy(classes), num_class
+        ).numpy()
+
+    @pytest.mark.parametrize("num_class", [1, 2])
+    def test_votemap_matches_reference(self, num_class):
+        from partner_tpu.core import targets
+
+        boxes, _ = _scene_boxes()
+        boxes7 = np.concatenate([boxes[:, :6], boxes[:, -1:]], 1)
+        classes = (np.arange(len(boxes7)) % num_class).astype(np.int64)
+        want = self._ref_votemap(boxes7, classes, num_class)
+        got = targets.draw_votemap(
+            boxes7, classes, num_class, GRID, VS, PR, feature_map_stride=8)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_votemap_azimuth_truncation_matches(self):
+        """A box hugging the origin spans > fmap/4 azimuth cells and
+        triggers the reference's truncation branch (e2e_modules.py:137-144)."""
+        from partner_tpu.core import targets
+
+        boxes = np.array(
+            [[0.9, 0.2, 0.0, 6.0, 2.5, 1.8, 0.4]], np.float32)
+        classes = np.zeros(1, np.int64)
+        want = self._ref_votemap(boxes, classes, 1)
+        got = targets.draw_votemap(boxes, classes, 1, GRID, VS, PR, 8)
+        assert want.max() > 0, "fixture must actually draw"
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_votemap_empty_boxes(self):
+        from partner_tpu.core import targets
+
+        want = self._ref_votemap(np.zeros((0, 7), np.float32),
+                                 np.zeros((0,), np.int64), 1)
+        got = targets.draw_votemap(np.zeros((0, 7), np.float32),
+                                   np.zeros((0,), np.int64), 1, GRID, VS,
+                                   PR, 8)
+        np.testing.assert_array_equal(got, want)
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
