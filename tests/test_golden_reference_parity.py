@@ -40,7 +40,16 @@ def _scene_boxes():
     return b, cls
 
 
-def _run_reference(boxes, classes, rectify, tasks_spec, dataset="WaymoDataset"):
+CART_PR = np.asarray([-75.0, -75.0, -2.0, 75.0, 75.0, 4.0], np.float32)
+CART_GRID = np.asarray([192, 192, 40])
+CART_VS = np.asarray(
+    [(CART_PR[3 + i] - CART_PR[i]) / CART_GRID[i] for i in range(3)],
+    np.float32,
+)
+
+
+def _run_reference(boxes, classes, rectify, tasks_spec, dataset="WaymoDataset",
+                   voxel_shape="cylinder"):
     AssignLabel, Addict = load_reference_assigner()
     cfg = Addict()
     cfg["out_size_factor"] = 8
@@ -51,17 +60,19 @@ def _run_reference(boxes, classes, rectify, tasks_spec, dataset="WaymoDataset"):
     cfg["gaussian_overlap"] = 0.1
     cfg["max_objs"] = 50
     cfg["min_radius"] = 2
-    cfg["voxel_shape"] = "cylinder"
+    cfg["voxel_shape"] = voxel_shape
     al = AssignLabel(cfg=cfg, rectify=rectify)
     names = np.asarray(
         [tasks_spec[0][0] if c == 1 else "Other" for c in classes]
     )
+    cyl = voxel_shape == "cylinder"
     res = {
         "mode": "train",
         "type": dataset,
         "lidar": {
-            "voxels": {"shape": GRID.copy(), "range": PR.copy(),
-                       "size": VS.copy()},
+            "voxels": {"shape": (GRID if cyl else CART_GRID).copy(),
+                       "range": (PR if cyl else CART_PR).copy(),
+                       "size": (VS if cyl else CART_VS).copy()},
             "annotations": {"gt_boxes": boxes.copy(),
                             "gt_classes": classes.copy(),
                             "gt_names": names},
@@ -116,6 +127,27 @@ def test_polar_assignment_two_tasks_matches_reference():
         np.testing.assert_array_equal(ours["cat"][t], ref["cat"][t])
         np.testing.assert_allclose(ours["anno_box"][t], ref["anno_box"][t],
                                    atol=1e-4)
+
+
+def test_cartesian_heatmap_assignment_matches_reference():
+    """Cuboid branch (assign_heatmap_cuboid, preprocess.py:193-251):
+    chirality-free (dims only, no corners) — direct array parity."""
+    boxes, classes = _scene_boxes()
+    asg = CenterTargetAssigner(
+        tasks=[dict(num_class=1, class_names=["Vehicle"])],
+        out_size_factor=8, gaussian_overlap=0.1, max_objs=50, min_radius=2,
+        voxel_shape="cuboid",
+    )
+    ours = asg.assign(boxes.copy(), classes.copy(), CART_GRID, CART_VS,
+                      CART_PR)
+    ref = _run_reference(boxes, classes, False, [["Vehicle"]],
+                         voxel_shape="cuboid")
+    np.testing.assert_allclose(ours["hm"][0], ref["hm"][0], atol=1e-5)
+    np.testing.assert_array_equal(ours["ind"][0], ref["ind"][0])
+    np.testing.assert_array_equal(ours["mask"][0], ref["mask"][0])
+    np.testing.assert_allclose(ours["anno_box"][0], ref["anno_box"][0],
+                               atol=1e-4)
+    assert ref["mask"][0].sum() >= 5  # cart range keeps the far box too
 
 
 class TestVotemapParity:
