@@ -20,6 +20,7 @@ absolute xy = reg + offset grid, exp dims, atan2 rot (+ center azimuth when
 ``rectify``), then score/range masking and device rotated NMS.
 """
 
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -31,6 +32,7 @@ from ..utils.dtypes import resolve_compute_dtype
 
 from ..core.geometry import bev_cell_centers, wrap_angle_pi
 from ..ops.nms import rotate_nms_pcdet
+from . import layers
 from .layers import BatchNorm
 from .registry import BBOX_HEADS
 from .swin_vote import SwinVoteTransformer
@@ -145,29 +147,111 @@ class E2ESWVoteHead(nn.Module):
         """Add the cartesian cell-center grid to (B, H, W, 2) offsets."""
         return xy_maps + self.offset_grid[None]
 
+    def _fused_branches(self, x, branches):
+        """Exact horizontal fusion of parallel conv branch heads.
+
+        Each branch (ConvHead / ConvBNHead) is conv1 -> [BN] -> relu ->
+        conv2 over the SAME input map. XLA:TPU does not horizontally
+        fuse parallel convolutions, so the unfused head re-reads the
+        wide BEV map once per branch and runs 64-out-channel convs that
+        waste most of the 128-lane MXU tile. Fusing concatenates the
+        conv1 kernels along output channels (one wide conv, one read)
+        and runs conv2 as a single block-diagonal conv (zero
+        cross-branch blocks — identical per-channel math, the MXU
+        accumulates the zeros exactly).
+
+        branches: list of (module, has_bn). Returns the concatenated
+        (B, H, W, sum_out) map, f32 (matching each branch's final
+        astype)."""
+        dt = resolve_compute_dtype(self.compute_dtype)
+        k = self.kernel_size
+        ws1, bs1, affs, ws2, bs2 = [], [], [], [], []
+        for mod, has_bn in branches:
+            p = mod.variables["params"]
+            ws1.append(p["Conv_0"]["kernel"])
+            bs1.append(p["Conv_0"]["bias"])
+            ws2.append(p["Conv_1"]["kernel"])
+            bs2.append(p["Conv_1"]["bias"])
+            if has_bn:
+                bnp = p["BatchNorm_0"]["BatchNorm_0"]
+                bns = mod.variables["batch_stats"]["BatchNorm_0"][
+                    "BatchNorm_0"]
+                a = bnp["scale"] * jax.lax.rsqrt(
+                    bns["var"] + layers.BN_EPS)
+                affs.append((a, bnp["bias"] - bns["mean"] * a))
+            else:
+                affs.append(None)
+        hid = [w.shape[-1] for w in ws1]
+        outs = [w.shape[-1] for w in ws2]
+        w1 = jnp.concatenate(ws1, axis=-1).astype(dt)
+        b1 = jnp.concatenate(bs1, axis=-1)
+        h = jax.lax.conv_general_dilated(
+            x.astype(dt), w1, (1, 1), [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b1.astype(dt)
+        # per-branch BN-affine (f32, like nn.BatchNorm's promotion) + relu
+        parts = []
+        off = 0
+        for (mod, _), aff, hsz in zip(branches, affs, hid):
+            seg = h[..., off : off + hsz]
+            if aff is not None:
+                seg = seg.astype(jnp.float32) * aff[0] + aff[1]
+            parts.append(nn.relu(seg).astype(dt))
+            off += hsz
+        h = jnp.concatenate(parts, axis=-1)
+        # block-diagonal second conv
+        w2 = jnp.zeros((k, k, sum(hid), sum(outs)), dt)
+        ro = co = 0
+        for w, hsz, osz in zip(ws2, hid, outs):
+            w2 = w2.at[:, :, ro : ro + hsz, co : co + osz].set(
+                w.astype(dt))
+            ro += hsz
+            co += osz
+        out = jax.lax.conv_general_dilated(
+            h, w2, (1, 1), [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.concatenate(bs2, axis=-1).astype(dt)
+        return out.astype(jnp.float32)
+
     def __call__(self, x, train: bool = True):
         """x: (B, n_az, n_r, in_channels) BEV feature map."""
         det = not train
-        votes = self.vote_head(x)  # (B, H, W, 2)
-        vote_cls = self.vote_cls_head(x, train)  # (B, H, W, 1)
+        fused = (det and not self.is_initializing()
+                 and os.environ.get("PARTNER_TPU_FUSED_HEAD", "1") != "0")
+        if fused:
+            v = self._fused_branches(
+                x, [(self.vote_head, False), (self.vote_cls_head, True)])
+            votes, vote_cls = v[..., :2], v[..., 2:3]
+        else:
+            votes = self.vote_head(x)  # (B, H, W, 2)
+            vote_cls = self.vote_cls_head(x, train)  # (B, H, W, 1)
         voted_embed = jnp.concatenate([votes, vote_cls], axis=-1)
         pos_embed = jnp.broadcast_to(
             self.offset_grid[None], x.shape[:3] + (2,)
         )
         feat = self.layer(x, pos_embed, voted_embed, deterministic=det)
 
-        out = {
-            "pred_centers": votes,
-            "pred_vote_cls": vote_cls,
-            "hm": self.cls_head(feat, train),
-        }
-        boxes = self.bbox_head(feat)
+        out = {"pred_centers": votes, "pred_vote_cls": vote_cls}
+        if fused:
+            branches = [(self.cls_head, True), (self.bbox_head, False)]
+            if self.iou_head:
+                branches.append((self.iou_head_mod, False))
+            m = self._fused_branches(feat, branches)
+            ncls = self.num_classes
+            code = 7 + (1 if self.encode_angle_by_sincos else 0)
+            out["hm"] = m[..., :ncls]
+            boxes = m[..., ncls : ncls + code]
+            if self.iou_head:
+                out["iou"] = m[..., ncls + code : ncls + code + 1]
+        else:
+            out["hm"] = self.cls_head(feat, train)
+            boxes = self.bbox_head(feat)
+            if self.iou_head:
+                out["iou"] = self.iou_head_mod(feat)
         out["reg"] = boxes[..., 0:2]
         out["height"] = boxes[..., 2:3]
         out["dim"] = boxes[..., 3:6]
         out["rot"] = boxes[..., 6:8]
-        if self.iou_head:
-            out["iou"] = self.iou_head_mod(feat)
         return out
 
     def flatten_preds(self, preds):

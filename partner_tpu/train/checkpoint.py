@@ -5,8 +5,9 @@ hooks/checkpoint.py, tools/train.py:95-97): step-tagged directories, a
 ``latest`` pointer updated on every save, meta (epoch/step/config text)
 stored alongside, resume restores optimizer state.
 
-Uses orbax-checkpoint when available, with a pickle fallback (the arrays
-are host numpy either way).
+Payloads are pickled host-numpy pytrees behind the remote_io filesystem
+abstraction (local paths or scheme-prefixed remote stores) — one format
+everywhere, no orbax dependency on the load path.
 """
 
 import json
