@@ -22,6 +22,7 @@ the +0.5 offset, cartesian reg offsets for cylinder grids, optional rectify
 of yaw/velocity by the cell azimuth.
 """
 
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -149,25 +150,83 @@ class ConvGNStack(nn.Module):
 
 
 class SepHead(nn.Module):
-    """Per-task separate conv heads (center_head.py:65-107)."""
+    """Per-task separate conv heads (center_head.py:65-107).
+
+    At inference the standard num_conv=2 branch stacks are horizontally
+    fused — one concatenated-kernel hidden conv (a single read of the
+    input map, full MXU lane tile instead of 64-out slivers) + one
+    block-diagonal out conv — mathematically identical per channel,
+    params unchanged (see e2e_head._fused_branches for the rationale).
+    PARTNER_TPU_FUSED_HEAD=0 opts out."""
 
     heads: Any  # dict name -> (out_channels, num_conv)
     init_bias: float = -2.19
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        out = {}
-        for name, (classes, num_conv) in dict(self.heads).items():
-            y = x
-            for i in range(num_conv - 1):
-                y = nn.Conv(64, (3, 3), padding=1, name=f"{name}_conv{i}")(y)
-                y = nn.relu(y)
+        heads = dict(self.heads)
+        fused = (
+            not train and not self.is_initializing()
+            and os.environ.get("PARTNER_TPU_FUSED_HEAD", "1") != "0"
+            and len(heads) > 1
+            and all(nc == 2 for _, nc in heads.values())
+        )
+        mods = {}
+        for name, (classes, num_conv) in heads.items():
             bias_init = (
                 nn.initializers.constant(self.init_bias)
                 if "hm" in name else nn.initializers.zeros
             )
-            out[name] = nn.Conv(classes, (3, 3), padding=1,
-                                bias_init=bias_init, name=f"{name}_out")(y)
+            mods[name] = (
+                [nn.Conv(64, (3, 3), padding=1, name=f"{name}_conv{i}")
+                 for i in range(num_conv - 1)],
+                nn.Conv(classes, (3, 3), padding=1, bias_init=bias_init,
+                        name=f"{name}_out"),
+            )
+        if not fused:
+            out = {}
+            for name, (classes, num_conv) in heads.items():
+                y = x
+                for conv in mods[name][0]:
+                    y = nn.relu(conv(y))
+                out[name] = mods[name][1](y)
+            return out
+
+        # bind params via dummy 1x1 calls (dead-code-eliminated under jit)
+        for name in heads:
+            mods[name][0][0](x[:, :1, :1, :])
+            mods[name][1](jnp.zeros((1, 1, 1, 64), x.dtype))
+
+        def p(mod):
+            return mod.variables["params"]
+
+        names = list(heads)
+        w1 = jnp.concatenate(
+            [p(mods[n][0][0])["kernel"] for n in names], axis=-1)
+        b1 = jnp.concatenate(
+            [p(mods[n][0][0])["bias"] for n in names], axis=-1)
+        h = jax.lax.conv_general_dilated(
+            x, w1, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b1
+        h = nn.relu(h)
+        outs = [heads[n][0] for n in names]
+        w2 = jnp.zeros((3, 3, 64 * len(names), sum(outs)), x.dtype)
+        co = 0
+        for i, n in enumerate(names):
+            w2 = w2.at[:, :, i * 64 : (i + 1) * 64,
+                       co : co + outs[i]].set(p(mods[n][1])["kernel"])
+            co += outs[i]
+        b2 = jnp.concatenate([p(mods[n][1])["bias"] for n in names], axis=-1)
+        m = jax.lax.conv_general_dilated(
+            h, w2, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b2
+        out = {}
+        co = 0
+        for i, n in enumerate(names):
+            out[n] = m[..., co : co + outs[i]]
+            co += outs[i]
         return out
 
 

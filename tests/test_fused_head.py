@@ -37,6 +37,43 @@ def test_fused_branch_heads_match_unfused(rng, monkeypatch, compute_dtype):
         assert d < tol, (k, d)
 
 
+def test_sep_head_fused_matches_unfused(rng, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from partner_tpu.models.center_head import SepHead
+
+    heads = dict(reg=(2, 2), height=(1, 2), dim=(3, 2), rot=(2, 2),
+                 vel=(2, 2), hm=(3, 2))
+    head = SepHead(heads=tuple(heads.items()))
+    x = jnp.asarray(rng.randn(2, 8, 8, 96).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), x, train=True)
+    monkeypatch.setenv("PARTNER_TPU_FUSED_HEAD", "0")
+    ref = head.apply(variables, x, train=False)
+    monkeypatch.setenv("PARTNER_TPU_FUSED_HEAD", "1")
+    got = head.apply(variables, x, train=False)
+    assert set(ref) == set(got) == set(heads)
+    for k in ref:
+        assert ref[k].shape == got[k].shape == x.shape[:3] + (heads[k][0],)
+        d = float(jnp.abs(ref[k] - got[k]).max())
+        assert d < 2e-5, (k, d)
+
+
+def test_sep_head_heterogeneous_depth_falls_back(rng, monkeypatch):
+    """num_conv != 2 anywhere -> unfused path (exactness over cleverness)."""
+    import jax
+    import jax.numpy as jnp
+
+    from partner_tpu.models.center_head import SepHead
+
+    head = SepHead(heads=(("reg", (2, 3)), ("hm", (1, 2))))
+    x = jnp.asarray(rng.randn(1, 4, 4, 32).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), x, train=True)
+    monkeypatch.setenv("PARTNER_TPU_FUSED_HEAD", "1")
+    out = head.apply(variables, x, train=False)
+    assert out["reg"].shape == (1, 4, 4, 2)
+
+
 def test_train_path_stays_unfused(rng):
     """Training keeps per-branch modules (autodiff + BN batch stats)."""
     import jax
