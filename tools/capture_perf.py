@@ -1,0 +1,66 @@
+"""On-chip perf capture: run bench.py across the A/B matrix and collect
+one JSON per variant.
+
+Usage: python tools/capture_perf.py [outdir]   (default /tmp/perf_r3)
+
+Variants:
+  baseline      — current defaults (fused heads ON, pallas OFF)
+  nofuse        — PARTNER_TPU_FUSED_HEAD=0 (measures the fusion win)
+  pallas        — PARTNER_TPU_PALLAS=1 (stem + swin kernels)
+  pallas_nofuse — kernels on, fusion off (attribution)
+
+Each run also reports train_step_ms and fps_batch2 (in-bench). The
+summary table prints at the end; feed the winners into PERF.md and flip
+defaults accordingly.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+VARIANTS = [
+    ("baseline", {}),
+    ("nofuse", {"PARTNER_TPU_FUSED_HEAD": "0"}),
+    ("pallas", {"PARTNER_TPU_PALLAS": "1"}),
+    ("pallas_nofuse", {"PARTNER_TPU_PALLAS": "1",
+                       "PARTNER_TPU_FUSED_HEAD": "0"}),
+]
+
+
+def main(outdir="/tmp/perf_r3"):
+    os.makedirs(outdir, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {}
+    for name, env_extra in VARIANTS:
+        env = dict(os.environ)
+        env.update(env_extra)
+        # train step only once (slow compile); batch2 every time (cheap)
+        env["BENCH_TRAIN"] = "1" if name == "baseline" else "0"
+        out_path = os.path.join(outdir, f"bench_{name}.json")
+        print(f"=== {name} {env_extra} ===", flush=True)
+        r = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                           env=env, capture_output=True, text=True,
+                           timeout=1800)
+        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        print(line, flush=True)
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr)
+        try:
+            results[name] = json.loads(line)
+        except json.JSONDecodeError:
+            results[name] = {"error": "unparseable", "rc": r.returncode}
+        with open(out_path, "w") as f:
+            json.dump(results[name], f)
+    print("\n=== summary ===")
+    for name, res in results.items():
+        print(f"{name:14s} fps={res.get('value')} mfu={res.get('mfu')} "
+              f"batch2={res.get('fps_batch2')} "
+              f"train_ms={res.get('train_step_ms')} "
+              f"err={res.get('error')}")
+    with open(os.path.join(outdir, "summary.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
