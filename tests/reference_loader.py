@@ -150,6 +150,31 @@ def load_reference_gt_processor():
     return GroundTruthProcessor, _Addict
 
 
+def load_reference_set_criterion():
+    """Returns (SetCriterion, TimeMatcher) torch classes
+    (det3d/models/e2e_utils/set_crit.py:30-206, matcher.py). The reference's
+    loss_utils.py:7 imports bbox3d_overlaps_{iou,giou,diou} from
+    center_utils — names that do not exist in this det3d snapshot (a dead
+    import from a newer CenterPoint); inject raising stubs so the module
+    imports. loss_iou / loss_iou_reg paths that would call them must not be
+    exercised."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    import det3d.core.utils.center_utils as cu
+
+    def _needs_cuda(*a, **k):  # pragma: no cover
+        raise NotImplementedError("CUDA bbox3d overlap stub")
+
+    for name in ("bbox3d_overlaps_iou", "bbox3d_overlaps_giou",
+                 "bbox3d_overlaps_diou"):
+        if not hasattr(cu, name):
+            setattr(cu, name, _needs_cuda)
+    from det3d.models.e2e_utils.matcher import TimeMatcher
+    from det3d.models.e2e_utils.set_crit import SetCriterion
+    return SetCriterion, TimeMatcher
+
+
 def load_reference_set_transformer():
     """Returns the reference set_transformer module (pure torch,
     det3d/models/utils/set_transformer.py) for PARTNER attention parity."""

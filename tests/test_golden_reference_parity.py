@@ -213,6 +213,105 @@ class TestVotemapParity:
         np.testing.assert_array_equal(got, want)
 
 
+class TestSetCriterionParity:
+    """Our SetCriterion vs the executed reference SetCriterion+TimeMatcher
+    (set_crit.py:30-206, matcher.py:8-154) on a fixed scene: loss_ce,
+    loss_bbox, loss_vote, loss_vote_cls, and the weighted total.
+    (loss_iou needs the reference's CUDA iou3d — excluded; our boxes_iou3d
+    has its own numpy-oracle tests.)"""
+
+    B, N, NCLS, CODE = 2, 64, 1, 8
+
+    def _fixture(self):
+        rng = np.random.RandomState(11)
+        preds = {
+            "pred_logits": rng.randn(self.B, self.N, self.NCLS).astype(
+                np.float32),
+            "pred_boxes": np.concatenate([
+                rng.uniform(-40, 40, (self.B, self.N, 2)),
+                rng.uniform(-2, 2, (self.B, self.N, 1)),
+                rng.uniform(-0.5, 1.5, (self.B, self.N, 3)),  # log dims
+                rng.uniform(-1, 1, (self.B, self.N, 2)),      # cos, sin
+            ], -1).astype(np.float32),
+            "pred_centers": rng.uniform(-40, 40,
+                                        (self.B, self.N, 2)).astype(
+                np.float32),
+            "pred_vote_cls": rng.randn(self.B, self.N, 1).astype(np.float32),
+        }
+        m = 3
+        gt = np.zeros((self.B, m, 7), np.float32)
+        gt[..., :2] = rng.uniform(-30, 30, (self.B, m, 2))
+        gt[..., 2] = rng.uniform(-1, 1, (self.B, m))
+        gt[..., 3:6] = rng.uniform(1, 5, (self.B, m, 3))
+        gt[..., 6] = rng.uniform(-np.pi, np.pi, (self.B, m))
+        gt_classes = np.zeros((self.B, m), np.int64)  # 0-based, single class
+        gt_mask = np.ones((self.B, m), bool)
+        gt_mask[1, 2] = False  # ragged second scene
+        votemap = np.zeros((self.B, self.N, 4 + self.NCLS), np.float32)
+        on = rng.rand(self.B, self.N) < 0.3
+        votemap[..., 0][on] = rng.uniform(1, 30, on.sum())
+        votemap[..., 1][on] = rng.uniform(-30, 30, on.sum())
+        votemap[..., 4][on] = rng.uniform(0.2, 1.0, on.sum())
+        return preds, gt, gt_classes, gt_mask, votemap
+
+    def test_losses_match_reference(self):
+        import torch
+
+        from reference_loader import (load_reference_center_coder,
+                                      load_reference_set_criterion)
+
+        RefCrit, TimeMatcher = load_reference_set_criterion()
+
+        from partner_tpu.core.center_coder import CenterCoder as OurCoder
+        from partner_tpu.losses.set_crit import SetCriterion as OurCrit
+
+        RefCoder = load_reference_center_coder()
+        preds, gt, gt_classes, gt_mask, votemap = self._fixture()
+        weight_dict = {"loss_ce": 1.0, "loss_bbox": 2.0, "loss_vote": 0.25,
+                       "loss_vote_cls": 1.0}
+        losses = list(weight_dict)
+        cw = [1.0] * self.CODE
+
+        ref_coder = RefCoder(code_size=7, encode_angle_by_sincos=True)
+        matcher = TimeMatcher(
+            box_coder=ref_coder, losses=["loss_ce", "loss_bbox"],
+            weight_dict={"loss_ce": 0.25, "loss_bbox": 0.75},
+            use_focal_loss=True, code_weights=cw,
+        )
+        ref_crit = RefCrit(matcher=matcher, weight_dict=weight_dict,
+                           losses=losses, sigma=3.0, box_coder=ref_coder,
+                           code_weights=cw)
+        t = torch.from_numpy
+        ref_preds = {k: t(v) for k, v in preds.items()}
+        ref_gts = {
+            "gt_boxes": [t(gt[i][gt_mask[i]]) for i in range(self.B)],
+            "gt_classes": [t(gt_classes[i][gt_mask[i]])
+                           for i in range(self.B)],
+            "votemap": t(votemap),
+        }
+        with torch.no_grad():
+            want = {k: float(v) for k, v in
+                    ref_crit(ref_preds, ref_gts).items()
+                    if k != "loc_loss_elem"}
+
+        our_crit = OurCrit(
+            OurCoder(code_size=7, encode_angle_by_sincos=True),
+            weight_dict=weight_dict, losses=losses, sigma=3.0,
+            code_weights=cw, matcher_impl="scipy",
+        )
+        import jax.numpy as jnp
+
+        got = our_crit({k: jnp.asarray(v) for k, v in preds.items()},
+                       jnp.asarray(gt), jnp.asarray(gt_classes),
+                       jnp.asarray(gt_mask), votemap=jnp.asarray(votemap))
+        for k in ["loss_ce", "loss_bbox", "loss_vote", "loss_vote_cls",
+                  "loss"]:
+            assert k in got, (k, list(got))
+            np.testing.assert_allclose(
+                float(got[k]), want[k], rtol=2e-4,
+                err_msg=f"{k} diverges from executed reference")
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
