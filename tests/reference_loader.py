@@ -175,6 +175,18 @@ def load_reference_set_criterion():
     return SetCriterion, TimeMatcher
 
 
+def load_reference_augment():
+    """Returns (prep, utils) — the reference's numpy augmentation module
+    (det3d/core/sampler/preprocess.py:771-957) and pipeline utils
+    (det3d/datasets/pipelines/utils.py) for golden augmentation parity."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    import det3d.core.sampler.preprocess as prep
+    import det3d.datasets.pipelines.utils as utils
+    return prep, utils
+
+
 def load_reference_set_transformer():
     """Returns the reference set_transformer module (pure torch,
     det3d/models/utils/set_transformer.py) for PARTNER attention parity."""

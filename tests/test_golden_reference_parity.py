@@ -312,6 +312,154 @@ class TestSetCriterionParity:
                 err_msg=f"{k} diverges from executed reference")
 
 
+class _ScriptedRng:
+    """Stub rng for our augment fns: pops scripted values per method."""
+
+    def __init__(self, randoms=(), uniforms=(), normals=()):
+        self._r, self._u, self._n = (list(randoms), list(uniforms),
+                                     list(normals))
+
+    def random(self):
+        return self._r.pop(0)
+
+    def uniform(self, lo, hi):
+        return self._u.pop(0)
+
+    def normal(self, mu, std):
+        return self._n.pop(0)
+
+
+class TestAugmentParity:
+    """Our data/augment.py vs the executed reference augmentations
+    (core/sampler/preprocess.py:771-957) with RNG draws forced equal on
+    both sides, incl. yaw/velocity handling and rotation chirality through
+    rotation_points_single_angle. Documented deviation: the reference's
+    global_translate_ draws the z noise with std[0] (preprocess.py:952 —
+    an upstream typo); ours uses std[2], so translate parity is asserted
+    with a scalar std where both agree."""
+
+    def _scene(self, ncols=9):
+        rng = np.random.RandomState(7)
+        pts = rng.uniform(-50, 50, (200, 5)).astype(np.float64)
+        boxes = np.zeros((12, ncols))
+        boxes[:, :3] = rng.uniform(-40, 40, (12, 3))
+        boxes[:, 3:6] = rng.uniform(1, 5, (12, 3))
+        if ncols > 7:
+            boxes[:, 6:8] = rng.uniform(-5, 5, (12, 2))
+        boxes[:, -1] = rng.uniform(-np.pi, np.pi, 12)
+        return boxes, pts
+
+    def _patched(self, module, name, fn):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            old = getattr(np.random, name)
+            setattr(np.random, name, fn)
+            try:
+                yield
+            finally:
+                setattr(np.random, name, old)
+
+        return cm()
+
+    def test_flip_both(self):
+        from reference_loader import load_reference_augment
+
+        from partner_tpu.data import augment
+
+        prep, _ = load_reference_augment()
+        for draws in [(True, True), (True, False), (False, True)]:
+            boxes, pts = self._scene()
+            seq = list(draws)
+            with self._patched(prep, "choice",
+                               lambda *a, **k: seq.pop(0)):
+                want_b, want_p = prep.random_flip_both(
+                    boxes.copy(), pts.copy())
+            ours = _ScriptedRng(
+                randoms=[0.0 if d else 1.0 for d in draws])
+            got_b, got_p = augment.random_flip_both(
+                boxes.copy(), pts.copy(), rng=ours)
+            np.testing.assert_allclose(got_b, want_b, err_msg=str(draws))
+            np.testing.assert_allclose(got_p, want_p, err_msg=str(draws))
+
+    def test_global_rotation_with_velocity(self):
+        """Chirality map: det3d's rotation_points_single_angle is
+        CLOCKWISE-positive (reference box_np_ops.py:182-195, KITTI
+        lineage) while ours is CCW-physical, and each framework couples
+        the yaw increment to its own corner chirality (see
+        targets.det3d_corner_box2d). The exact relation is
+        ours(-theta) == reference(theta) pointwise on every geometric
+        column, with the yaw delta negated."""
+        from reference_loader import load_reference_augment
+
+        from partner_tpu.data import augment
+
+        prep, _ = load_reference_augment()
+        boxes, pts = self._scene(ncols=9)
+        theta = 0.37
+        with self._patched(prep, "uniform", lambda lo, hi: theta):
+            want_b, want_p = prep.global_rotation(
+                boxes.copy(), pts.copy(), rotation=[-0.6, 0.6])
+        got_b, got_p = augment.global_rotation(
+            boxes.copy(), pts.copy(), rotation=[-0.6, 0.6],
+            rng=_ScriptedRng(uniforms=[-theta]))
+        np.testing.assert_allclose(got_p, want_p, atol=1e-12)
+        np.testing.assert_allclose(got_b[:, :6], want_b[:, :6], atol=1e-12)
+        np.testing.assert_allclose(got_b[:, 6:8], want_b[:, 6:8],
+                                   atol=1e-12)
+        # yaw: ours adds -theta where the reference adds +theta
+        np.testing.assert_allclose(got_b[:, -1], boxes[:, -1] - theta,
+                                   atol=1e-12)
+        np.testing.assert_allclose(want_b[:, -1], boxes[:, -1] + theta,
+                                   atol=1e-12)
+
+    def test_global_scaling(self):
+        from reference_loader import load_reference_augment
+
+        from partner_tpu.data import augment
+
+        prep, _ = load_reference_augment()
+        boxes, pts = self._scene()
+        with self._patched(prep, "uniform", lambda lo, hi: 1.037):
+            want_b, want_p = prep.global_scaling_v2(boxes.copy(), pts.copy())
+        got_b, got_p = augment.global_scaling(
+            boxes.copy(), pts.copy(), rng=_ScriptedRng(uniforms=[1.037]))
+        np.testing.assert_allclose(got_b, want_b)
+        np.testing.assert_allclose(got_p, want_p)
+
+    def test_global_translate_scalar_std(self):
+        from reference_loader import load_reference_augment
+
+        from partner_tpu.data import augment
+
+        prep, _ = load_reference_augment()
+        boxes, pts = self._scene()
+        seq = [0.11, -0.23, 0.05]
+        with self._patched(
+                prep, "normal",
+                lambda mu, std, size=None: np.array([seq.pop(0)])):
+            want_b, want_p = prep.global_translate_(
+                boxes.copy(), pts.copy(), noise_translate_std=0.25)
+        got_b, got_p = augment.global_translate(
+            boxes.copy(), pts.copy(), noise_translate_std=0.25,
+            rng=_ScriptedRng(normals=[0.11, -0.23, 0.05]))
+        np.testing.assert_allclose(got_b, want_b)
+        np.testing.assert_allclose(got_p, want_p)
+
+    def test_transform_points(self):
+        from reference_loader import load_reference_augment
+
+        from partner_tpu.core import box_np_ops
+
+        _, utils = load_reference_augment()
+        _, pts = self._scene()
+        for shape in ("cylinder", "cuboid"):
+            want = utils.transform_points(pts.copy(), shape)
+            got = box_np_ops.transform_points(pts.copy(), shape)
+            np.testing.assert_allclose(got, want, err_msg=shape)
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
