@@ -460,6 +460,68 @@ class TestAugmentParity:
             np.testing.assert_allclose(got, want, err_msg=shape)
 
 
+def _containment_mask(ca, cb):
+    """(N, K) True where one quad fully contains the other (winding-
+    agnostic: all edge crosses share a sign)."""
+
+    def inside(quads, pts):
+        # quads (M, 4, 2), pts (P, 4, 2) -> (M, P) all-corners-inside
+        e = np.roll(quads, -1, axis=1) - quads  # (M, 4, 2)
+        d = pts[None, :, None, :, :] - quads[:, None, :, None, :]
+        cross = e[:, None, :, None, 0] * d[..., 1] - \
+            e[:, None, :, None, 1] * d[..., 0]  # (M, P, 4edge, 4pt)
+        return (cross >= 0).all((2, 3)) | (cross <= 0).all((2, 3))
+
+    return inside(ca, cb) | inside(cb, ca).T
+
+
+class TestCollisionParity:
+    """Our SAT box_collision_test (numpy oracle + native C++) vs the
+    executed reference box_collision_test (core/sampler/preprocess.py:
+    856-937, line-intersection + containment, pure Python via the stubbed
+    numba.jit). Both sides get the same corner arrays. Documented edge
+    deviation: exactly-touching rectangles are 'collision' for our SAT
+    (conservative GT-AUG rejection) and not for the reference's strict
+    inequalities — measure-zero for float scenes."""
+
+    def test_random_scenes(self):
+        from reference_loader import load_reference_augment
+
+        from partner_tpu.core import box_np_ops
+        from partner_tpu.data.augment import box_collision_test_np
+
+        prep, _ = load_reference_augment()
+        rng = np.random.RandomState(5)
+        for trial, spread in enumerate([12.0, 25.0, 60.0]):
+            n, k = 24, 30
+            centers = rng.uniform(-spread, spread, (n + k, 2))
+            dims = rng.uniform(1.0, 6.0, (n + k, 2))
+            yaws = rng.uniform(-np.pi, np.pi, n + k)
+            corners = box_np_ops.center_to_corner_box2d(
+                centers, dims, angles=yaws)
+            ca, cb = corners[:n], corners[n:]
+            want = prep.box_collision_test(ca, cb)
+            got = box_collision_test_np(ca, cb)
+            assert want.any() or spread > 30, "fixture too sparse"
+            # The reference kernel guards its full-containment fallback
+            # with ``if ret[i, j] is False`` (preprocess.py:886) — an
+            # identity test on a np.bool_ that only behaves as == under
+            # numba's nopython lowering; executed as pure Python the
+            # containment branch is dead. So: edge-intersection collisions
+            # must match exactly, and any extra True of ours must be a
+            # genuine full-containment pair.
+            contain = _containment_mask(ca, cb)
+            np.testing.assert_array_equal(
+                got, want | contain, err_msg=f"t{trial}")
+            assert not (want & ~got).any()
+            from partner_tpu import native
+
+            if native.available():
+                np.testing.assert_array_equal(
+                    native.box_collision_test(ca, cb), got,
+                    err_msg=f"native t{trial}")
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
