@@ -522,6 +522,96 @@ class TestCollisionParity:
                     err_msg=f"native t{trial}")
 
 
+class TestDbSamplerParity:
+    """Our DataBaseSampler.sample_all vs the executed reference
+    DataBaseSamplerV2.sample_all (core/sampler/sample_ops.py:97-229) on a
+    synthetic on-disk database, with BatchSampler shuffling disabled on
+    both sides so the per-class FIFO candidate streams are identical.
+    Exercises quota top-up, FIFO cycling, collision rejection against gt
+    AND previously-placed samples, and point loading/translation."""
+
+    def _db(self, tmp_path):
+        rng = np.random.RandomState(21)
+        db_infos = {"VEHICLE": [], "PEDESTRIAN": []}
+        dims = {"VEHICLE": (4.6, 2.1, 1.8), "PEDESTRIAN": (0.9, 0.9, 1.7)}
+        for cls in db_infos:
+            for i in range(10):
+                box = np.zeros(7, np.float32)
+                # ring placement; a few will land on/near the scene boxes
+                ang = 2 * np.pi * i / 10 + (0.3 if cls == "VEHICLE" else 0)
+                r = 18 + 6 * (i % 3)
+                box[:2] = r * np.array([np.cos(ang), np.sin(ang)])
+                box[2] = 0.5
+                box[3:6] = dims[cls]
+                box[6] = rng.uniform(-np.pi, np.pi)
+                pts = rng.uniform(-1, 1, (15, 5)).astype(np.float32)
+                path = f"{cls}_{i}.bin"
+                pts.tofile(tmp_path / path)
+                db_infos[cls].append({
+                    "name": cls, "difficulty": 0, "path": path,
+                    "box3d_lidar": box, "num_points_in_gt": 15,
+                })
+        return db_infos
+
+    def _scene(self):
+        gt_boxes = np.array([
+            [18.5, 5.8, 0.0, 4.8, 2.0, 1.7, 0.4],
+            [-12.0, -14.0, 0.0, 4.5, 2.0, 1.7, 2.1],
+            [20.0, -8.0, 0.0, 0.8, 0.8, 1.7, 0.0],
+        ], np.float32)
+        gt_names = np.array(["VEHICLE", "VEHICLE", "PEDESTRIAN"])
+        return gt_boxes, gt_names
+
+    def test_sample_all_matches_reference(self, tmp_path):
+        import types
+
+        from reference_loader import _install_stubs, load_reference_augment
+
+        from partner_tpu.data.gt_aug import DataBaseSampler
+
+        prep, _ = load_reference_augment()
+        _install_stubs()
+        import sys as _sys
+
+        if "/root/reference" not in _sys.path:
+            _sys.path.insert(0, "/root/reference")
+        from det3d.core.sampler.sample_ops import DataBaseSamplerV2
+
+        db_infos = self._db(tmp_path)
+        gt_boxes, gt_names = self._scene()
+        groups = [{"VEHICLE": 6}, {"PEDESTRIAN": 4}]
+
+        noshuffle = lambda x: None  # noqa: E731
+        old = np.random.shuffle
+        np.random.shuffle = noshuffle
+        try:
+            ref = DataBaseSamplerV2(
+                {k: list(v) for k, v in db_infos.items()},
+                [dict(g) for g in groups], db_prepor=None, rate=1.0,
+                global_rot_range=None,
+                logger=types.SimpleNamespace(info=lambda *a, **k: None))
+            want = ref.sample_all(
+                str(tmp_path), gt_boxes.copy(), gt_names.copy(), 5)
+        finally:
+            np.random.shuffle = old
+
+        ours = DataBaseSampler(
+            {k: list(v) for k, v in db_infos.items()},
+            [dict(g) for g in groups], rate=1.0,
+            rng=types.SimpleNamespace(shuffle=noshuffle))
+        got = ours.sample_all(
+            str(tmp_path), gt_boxes.copy(), gt_names.copy(), 5)
+
+        assert want is not None and got is not None
+        # quota: 6-2=4 vehicles, 4-1=3 peds requested; collisions reject some
+        assert len(want["gt_names"]) < 7, "no rejection exercised"
+        np.testing.assert_array_equal(got["gt_names"], want["gt_names"])
+        np.testing.assert_array_equal(got["difficulty"], want["difficulty"])
+        np.testing.assert_allclose(got["gt_boxes"], want["gt_boxes"])
+        np.testing.assert_allclose(got["points"], want["points"])
+        np.testing.assert_array_equal(got["gt_masks"], want["gt_masks"])
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
