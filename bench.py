@@ -22,8 +22,8 @@ flagship; the BASELINE.json target is >2x a V100-class chip).
 
 Env knobs: BENCH_SCALE=full|half|tiny (default full), BENCH_ITERS (default 60),
 BENCH_DIST=realistic|uniform, BENCH_TRAIN=1|0 (default 1),
-BENCH_PROBE_BUDGET (s, default 210), BENCH_DEADLINE (s, default 0 = off;
-the driver should set it just under its own timeout),
+BENCH_PROBE_BUDGET (s, default 210), BENCH_DEADLINE (s, default 2400,
+0 = off; set just under the caller's own timeout when that is tighter),
 PARTNER_TPU_PALLAS=1 to enable the Pallas stem/attention kernels.
 """
 
@@ -120,7 +120,11 @@ def _arm_deadline():
     """Hard internal deadline: if the bench wedges (tunnel dies
     mid-window), dump stacks and emit a machine-readable failure before
     the driver's own timeout turns us into a silent rc=124."""
-    deadline = float(os.environ.get("BENCH_DEADLINE", "0"))
+    # Default ON: a tunnel that dies AFTER the probe (mid-compile or
+    # mid-window) would otherwise hang this process into a silent driver
+    # rc=124. 2400 s clears the worst observed cold-cache compile (~900 s)
+    # with 2.5x margin; it only ever fires on a genuine wedge.
+    deadline = float(os.environ.get("BENCH_DEADLINE", "2400"))
     if deadline <= 0:
         return
 
