@@ -612,6 +612,42 @@ class TestDbSamplerParity:
         np.testing.assert_array_equal(got["gt_masks"], want["gt_masks"])
 
 
+class TestVoxelizerGoldenParity:
+    """Our FCFS hard voxelizer (vectorized + native C++) vs the executed
+    reference numba kernel (ops/point_cloud/point_cloud_ops.py:8-74 via the
+    stubbed @numba.jit, pure Python) — identical voxels/coords/counts incl.
+    FCFS voxel ordering, per-voxel point capping, and max_voxels drop."""
+
+    def test_bit_parity_with_reference_kernel(self):
+        from reference_loader import _install_stubs
+
+        from partner_tpu.ops.voxelize import points_to_voxel
+
+        _install_stubs()
+        import sys as _sys
+
+        if "/root/reference" not in _sys.path:
+            _sys.path.insert(0, "/root/reference")
+        from det3d.ops.point_cloud.point_cloud_ops import (
+            points_to_voxel as ref_points_to_voxel)
+
+        rng = np.random.RandomState(9)
+        pts = rng.uniform(0.2, 19.8, (4000, 5)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2.8, 2.8, 4000)
+        pc_range = np.array([0, 0, -3, 20, 20, 3], np.float32)
+        for max_points, max_voxels in [(5, 100000), (3, 64), (8, 500)]:
+            vs = np.array([0.5, 0.5, 0.75], np.float32) \
+                if max_voxels > 100 else np.array([4.0, 4.0, 2.0],
+                                                  np.float32)
+            want_v, want_c, want_n = ref_points_to_voxel(
+                pts, vs, pc_range, max_points, True, max_voxels)[:3]
+            got_v, got_c, got_n = points_to_voxel(
+                pts, vs, pc_range, max_points, max_voxels)
+            np.testing.assert_array_equal(got_c, want_c)
+            np.testing.assert_array_equal(got_n, want_n)
+            np.testing.assert_array_equal(got_v, want_v)
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
