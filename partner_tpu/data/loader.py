@@ -81,7 +81,11 @@ class GroupSampler:
             idx = idx[rng.permutation(size)]
             target = (int(np.ceil(size / (self.batch_size * self.num_hosts)))
                       * self.batch_size * self.num_hosts)
-            idx = np.concatenate([idx, idx[: target - size]])
+            # cycle the shuffled group to the padded length; the reference's
+            # single-slice pad (sampler.py:197-199) under-fills groups
+            # smaller than half the target and trips its own total_size
+            # assert — cycling keeps every batch flag-homogeneous
+            idx = np.resize(idx, target)
             chunks.append(idx)
         allidx = np.concatenate(chunks)
         nb = len(allidx) // self.batch_size

@@ -34,6 +34,18 @@ class TestGroupSampler:
                         f"mixed-group batch {flag[b]}"
                     )
 
+    def test_tiny_group_pads_by_cycling(self):
+        # a group smaller than half its pad target: the reference's
+        # single-slice pad (sampler.py:197-199) under-fills here and trips
+        # its own total_size assert; cycling must keep every batch
+        # homogeneous and lengths exact
+        flag = np.array([0] * 3 + [1] * 29, np.int64)
+        s = GroupSampler(flag, batch_size=8, num_hosts=2, host_id=0, seed=1)
+        idx = s.indices(epoch=0)
+        assert len(idx) == s.num_samples
+        for b in idx.reshape(-1, 8):
+            assert len(np.unique(flag[b])) == 1, f"mixed batch {flag[b]}"
+
     def test_num_samples_matches_reference_arithmetic(self, rng):
         flag = self._flags(rng, n=131, groups=4)
         for bs, hosts in [(1, 1), (2, 3), (4, 2), (8, 8)]:
