@@ -104,9 +104,16 @@ def _download_cached(url):
         cache_dir, hashlib.sha1(url.encode()).hexdigest()[:16] + "_" + base
     )
     if not os.path.exists(dest):
-        tmp = dest + ".part"
-        urllib.request.urlretrieve(url, tmp)
-        os.replace(tmp, dest)
+        # per-process temp name: concurrent hosts sharing the cache dir
+        # must not truncate each other's partial download; the atomic
+        # rename makes the last writer win with a complete file either way
+        tmp = f"{dest}.part.{os.getpid()}"
+        try:
+            urllib.request.urlretrieve(url, tmp)
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     return dest
 
 
