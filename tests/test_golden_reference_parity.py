@@ -648,6 +648,48 @@ class TestVoxelizerGoldenParity:
             np.testing.assert_array_equal(got_v, want_v)
 
 
+class TestLovaszParity:
+    """Our fixed-shape lovasz_softmax_flat (invalid cells zero-error,
+    sorted to the end) vs the executed reference lovasz_softmax_flat
+    (losses/lovasz_losses.py:178-199) on pre-filtered rows — the Lovász
+    extension math must agree exactly; the channel-0-ignore convention is
+    a documented redesign (our seg labels are shifted, reference keeps a
+    dead ignore channel in the softmax)."""
+
+    def test_flat_matches_reference(self):
+        import torch
+
+        from reference_loader import _install_stubs
+
+        from partner_tpu.models.seg_head import lovasz_softmax_flat
+
+        _install_stubs()
+        import sys as _sys
+
+        if "/root/reference" not in _sys.path:
+            _sys.path.insert(0, "/root/reference")
+        from det3d.models.losses.lovasz_losses import (
+            lovasz_softmax_flat as ref_flat)
+
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(13)
+        n, c = 300, 4
+        logits = rng.randn(n, c).astype(np.float32) * 2
+        probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        labels = rng.randint(0, c, n)
+        # leave one class absent to exercise the 'present' filter
+        labels[labels == 2] = 1
+        valid = rng.rand(n) < 0.8
+
+        want = float(ref_flat(torch.from_numpy(probs[valid]),
+                              torch.from_numpy(labels[valid]),
+                              classes="present"))
+        got = float(lovasz_softmax_flat(
+            jnp.asarray(probs), jnp.asarray(labels), jnp.asarray(valid)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
