@@ -690,6 +690,88 @@ class TestLovaszParity:
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+class TestTrackerParity:
+    """Our GreedyTracker vs the executed reference PubTracker
+    (tools/waymo_tracking/tracker.py, pure numpy) over a synthetic
+    multi-frame sequence: identical ids, classes, centers, and coasting
+    through a one-frame dropout. The reference returns coasted
+    (active == 0) tracks and filters them downstream (test.py:118); ours
+    returns actives directly. Documented deviation: on a frame with ZERO
+    detections the reference wipes all live tracks (tracker.py:44-46);
+    ours ages them — the fixture avoids empty frames."""
+
+    def _frames(self):
+        rng = np.random.RandomState(17)
+        objs = [
+            dict(name="VEHICLE", p=np.array([10.0, 5.0]),
+                 v=np.array([2.0, 0.0])),
+            dict(name="VEHICLE", p=np.array([-20.0, 8.0]),
+                 v=np.array([-1.0, 1.0])),
+            dict(name="PEDESTRIAN", p=np.array([3.0, -4.0]),
+                 v=np.array([0.4, 0.3])),
+            dict(name="CYCLIST", p=np.array([0.0, 15.0]),
+                 v=np.array([1.5, -0.5])),
+        ]
+        frames = []
+        for t in range(6):
+            dets = []
+            for k, o in enumerate(objs):
+                if t == 3 and k == 1:
+                    continue  # dropout; must re-associate at t=4 via gate
+                p = o["p"] + o["v"] * t * 0.5 + rng.randn(2) * 0.05
+                dets.append({
+                    "translation": [float(p[0]), float(p[1]), 0.5],
+                    "velocity": [float(o["v"][0]), float(o["v"][1])],
+                    "detection_name": o["name"],
+                    "score": 0.9,
+                })
+            # clutter below the score threshold
+            dets.append({
+                "translation": [40.0 + t, -40.0, 0.0],
+                "velocity": [0.0, 0.0],
+                "detection_name": "VEHICLE", "score": 0.05,
+            })
+            frames.append(dets)
+        return frames
+
+    def test_sequence_matches_reference(self):
+        import copy
+        import importlib.util
+
+        from partner_tpu.eval.tracking import GreedyTracker
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_waymo_tracker",
+            "/root/reference/tools/waymo_tracking/tracker.py")
+        ref_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_mod)
+
+        gates = {"VEHICLE": 2.5, "PEDESTRIAN": 1.0, "CYCLIST": 1.5}
+        ref = ref_mod.PubTracker(max_age=3, max_dist=dict(gates),
+                                 score_thresh=0.1)
+        ours = GreedyTracker(["VEHICLE", "PEDESTRIAN", "CYCLIST"],
+                             max_dist=gates, max_age=3, score_thresh=0.1)
+
+        frames = self._frames()
+        for t, dets in enumerate(frames):
+            lag = 0.0 if t == 0 else 0.5
+            want = [d for d in ref.step_centertrack(
+                copy.deepcopy(dets), lag) if d["active"] > 0]
+            got = ours.step(copy.deepcopy(dets), lag)
+            key = lambda d: d["tracking_id"]  # noqa: E731
+            want, got = sorted(want, key=key), sorted(got, key=key)
+            assert [d["tracking_id"] for d in got] == \
+                [d["tracking_id"] for d in want], f"frame {t}"
+            assert [d["label_preds"] for d in got] == \
+                [d["label_preds"] for d in want], f"frame {t}"
+            np.testing.assert_allclose(
+                np.stack([d["ct"] for d in got]),
+                np.stack([d["ct"] for d in want]), atol=1e-6,
+                err_msg=f"frame {t}")
+        # dropout object kept its id across the gap
+        assert len({d["tracking_id"] for d in got}) == 4
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
