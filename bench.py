@@ -94,9 +94,12 @@ def _probe_tpu():
     attempt_timeout = 90.0
     backoff = 20.0
     t_end = _T0 + budget
+    # run one tiny op, not just device enumeration: backend/libtpu skew
+    # (round-1 failure mode) raises on the first dispatch, not on devices()
     code = (
-        "import jax; d = jax.devices(); "
-        "print('PROBE_OK', len(d), d[0].platform)"
+        "import jax, jax.numpy as jnp; d = jax.devices(); "
+        "x = float((jnp.ones(8) * 2).sum()); "
+        "print('PROBE_OK', len(d), d[0].platform, x)"
     )
     attempt = 0
     last_err = ""
