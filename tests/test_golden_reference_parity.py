@@ -772,6 +772,42 @@ class TestTrackerParity:
         assert len({d["tracking_id"] for d in got}) == 4
 
 
+class TestBevMapGoldenParity:
+    """Our vectorized points_to_bev vs the executed reference numba kernel
+    (ops/point_cloud/bev_ops.py:8-117): height-slice maxima and the count
+    channel must match exactly, incl. the early max_voxels break. The
+    reflectivity channel is a documented deviation (iteration-order-
+    dependent in the reference) and is not asserted."""
+
+    def test_height_and_count_channels(self):
+        from reference_loader import _install_stubs
+
+        from partner_tpu.ops.voxelize import points_to_bev
+
+        _install_stubs()
+        import sys as _sys
+
+        if "/root/reference" not in _sys.path:
+            _sys.path.insert(0, "/root/reference")
+        from det3d.ops.point_cloud.bev_ops import (
+            points_to_bev as ref_points_to_bev)
+
+        rng = np.random.RandomState(3)
+        pts = rng.uniform(0.1, 15.9, (3000, 4)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2.9, 0.9, 3000)
+        vs = np.array([0.5, 0.5, 0.8], np.float32)
+        pr = np.array([0, 0, -3, 16, 16, 1], np.float32)
+        for max_voxels in (40000, 300):
+            want = ref_points_to_bev(pts.copy(), vs, pr,
+                                     with_reflectivity=False,
+                                     max_voxels=max_voxels)
+            got = points_to_bev(pts.copy(), vs, pr,
+                                with_reflectivity=False,
+                                max_voxels=max_voxels)
+            np.testing.assert_allclose(got, want, atol=1e-6,
+                                       err_msg=f"mv={max_voxels}")
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
