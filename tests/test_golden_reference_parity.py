@@ -808,6 +808,46 @@ class TestBevMapGoldenParity:
                                        err_msg=f"mv={max_voxels}")
 
 
+class TestPointsInRbboxParity:
+    """Our points_in_rbbox (CCW-physical yaw) vs the executed reference
+    (box_np_ops.py:641, CW corner math on ingestion-negated headings):
+    ours(yaw) == reference(-yaw) — the end-to-end convention equivalence
+    (reference negates raw Waymo headings at ingestion,
+    waymo_common.py:268-269; we keep them raw and rotate CCW)."""
+
+    def test_membership_matches_reference(self):
+        from reference_loader import _install_stubs
+
+        from partner_tpu.core.box_np_ops import (points_in_rbbox,
+                                                 points_in_rbbox_np)
+
+        _install_stubs()
+        import sys as _sys
+
+        if "/root/reference" not in _sys.path:
+            _sys.path.insert(0, "/root/reference")
+        from det3d.core.bbox import box_np_ops as ref_ops
+
+        rng = np.random.RandomState(4)
+        pts = rng.uniform(-15, 15, (2000, 5)).astype(np.float64)
+        boxes = np.zeros((8, 7))
+        boxes[:, :3] = rng.uniform(-10, 10, (8, 3))
+        boxes[:, 3:6] = rng.uniform(2, 8, (8, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, 8)
+
+        ref_boxes = boxes.copy()
+        ref_boxes[:, 6] = -ref_boxes[:, 6]
+        want = ref_ops.points_in_rbbox(pts, ref_boxes)
+        got = points_in_rbbox_np(pts, boxes)
+        assert want.any() and not want.all()
+        np.testing.assert_array_equal(got, want)
+        from partner_tpu import native
+
+        if native.available():
+            np.testing.assert_array_equal(
+                points_in_rbbox(pts, boxes), want)
+
+
 class TestCenterCoderParity:
     def _boxes_preds(self, sincos, n=16, code_size=7):
         rng = np.random.RandomState(3)
