@@ -90,11 +90,15 @@ class ConcatDataset:
         self.datasets = list(datasets)
         self.cum = np.cumsum([len(d) for d in self.datasets])
         flags = []
-        for i, d in enumerate(self.datasets):
+        # cumulative offset (running max + 1), NOT i * per-source offset:
+        # per-source offsets collide when sources have different group
+        # counts, silently merging sampler groups across sources
+        offset = 0
+        for d in self.datasets:
             f = getattr(d, "flag", np.zeros(len(d), np.uint8))
             f = np.asarray(f).astype(np.int64)
-            offset = 1 + (f.max() if len(f) else 0)
-            flags.append(f + i * offset)
+            flags.append(f + offset)
+            offset += 1 + (int(f.max()) if len(f) else 0)
         self.flag = (np.concatenate(flags) if flags
                      else np.zeros(0, np.int64))
 

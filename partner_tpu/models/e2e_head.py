@@ -162,9 +162,11 @@ class E2ESWVoteHead(nn.Module):
 
         branches: list of (module, has_bn). Returns the concatenated
         (B, H, W, sum_out) map, f32 (matching each branch's final
-        astype)."""
+        astype) — or None when the branches' conv kernels disagree in
+        spatial size (e.g. kernel_size != 3 while ConvBNHead's first
+        conv is fixed 3x3), in which case the caller must run the
+        unfused path."""
         dt = resolve_compute_dtype(self.compute_dtype)
-        k = self.kernel_size
         ws1, bs1, affs, ws2, bs2 = [], [], [], [], []
         for mod, has_bn in branches:
             p = mod.variables["params"]
@@ -181,12 +183,17 @@ class E2ESWVoteHead(nn.Module):
                 affs.append((a, bnp["bias"] - bns["mean"] * a))
             else:
                 affs.append(None)
+        if (len({w.shape[:2] for w in ws1}) != 1
+                or len({w.shape[:2] for w in ws2}) != 1):
+            return None
+        k1 = ws1[0].shape[0]
+        k = ws2[0].shape[0]
         hid = [w.shape[-1] for w in ws1]
         outs = [w.shape[-1] for w in ws2]
         w1 = jnp.concatenate(ws1, axis=-1).astype(dt)
         b1 = jnp.concatenate(bs1, axis=-1)
         h = jax.lax.conv_general_dilated(
-            x.astype(dt), w1, (1, 1), [(k // 2, k // 2)] * 2,
+            x.astype(dt), w1, (1, 1), [(k1 // 2, k1 // 2)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + b1.astype(dt)
         # per-branch BN-affine (f32, like nn.BatchNorm's promotion) + relu
@@ -218,9 +225,11 @@ class E2ESWVoteHead(nn.Module):
         det = not train
         fused = (det and not self.is_initializing()
                  and os.environ.get("PARTNER_TPU_FUSED_HEAD", "1") != "0")
+        v = None
         if fused:
             v = self._fused_branches(
                 x, [(self.vote_head, False), (self.vote_cls_head, True)])
+        if v is not None:
             votes, vote_cls = v[..., :2], v[..., 2:3]
         else:
             votes = self.vote_head(x)  # (B, H, W, 2)
@@ -232,11 +241,13 @@ class E2ESWVoteHead(nn.Module):
         feat = self.layer(x, pos_embed, voted_embed, deterministic=det)
 
         out = {"pred_centers": votes, "pred_vote_cls": vote_cls}
+        m = None
         if fused:
             branches = [(self.cls_head, True), (self.bbox_head, False)]
             if self.iou_head:
                 branches.append((self.iou_head_mod, False))
             m = self._fused_branches(feat, branches)
+        if m is not None:
             ncls = self.num_classes
             code = 7 + (1 if self.encode_angle_by_sincos else 0)
             out["hm"] = m[..., :ncls]

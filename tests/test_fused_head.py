@@ -91,3 +91,28 @@ def test_train_path_stays_unfused(rng):
     out, updates = head.apply(variables, x, train=True,
                               mutable=["batch_stats"])
     assert "hm" in out and "batch_stats" in updates
+
+
+def test_kernel_size_5_falls_back_to_unfused(rng, monkeypatch):
+    """kernel_size != 3 mixes 5x5 ConvHead conv1 with ConvBNHead's fixed
+    3x3 conv1 — fusion must detect the mismatch and fall back to the
+    unfused path instead of crashing (advisor finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from partner_tpu.models.e2e_head import E2ESWVoteHead
+
+    head = E2ESWVoteHead(
+        in_channels=64, grid_size=(64, 128, 16),
+        pc_range=(0.3, -3.14368, -2.0, 36.3, 3.14368, 2.8),
+        window_size=4, num_classes=1, kernel_size=5,
+    )
+    x = jnp.asarray(rng.randn(1, 16, 8, 64).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), x, train=True)
+    monkeypatch.setenv("PARTNER_TPU_FUSED_HEAD", "1")
+    got = head.apply(variables, x, train=False)  # must not raise
+    monkeypatch.setenv("PARTNER_TPU_FUSED_HEAD", "0")
+    ref = head.apply(variables, x, train=False)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=1e-6, err_msg=k)

@@ -164,6 +164,23 @@ class TestConcatRepeat:
                         collate_fn=_collate, seed=0)
         assert isinstance(dl.sampler, GroupSampler)
 
+    def test_three_source_flags_never_collide(self):
+        """Sources with different group counts must get disjoint flag id
+        ranges (cumulative offsets; per-source i*offset collides)."""
+        from partner_tpu.data.datasets import ConcatDataset
+
+        a = _FakeDataset(np.zeros(4, np.int64))              # 1 group
+        b = _FakeDataset(np.arange(10, dtype=np.int64))      # 10 groups
+        c = _FakeDataset(np.arange(5, dtype=np.int64))       # 5 groups
+        cd = ConcatDataset([a, b, c])
+        na, nb, nc = len(a), len(b), len(c)
+        fa, fb, fc = (cd.flag[:na], cd.flag[na:na + nb],
+                      cd.flag[na + nb:])
+        assert not (set(fa) & set(fb)), (fa, fb)
+        assert not (set(fb) & set(fc)), (fb, fc)
+        assert not (set(fa) & set(fc)), (fa, fc)
+        assert len(np.unique(cd.flag)) == 16
+
     def test_repeat_tiles_flag(self):
         from partner_tpu.data.datasets import RepeatDataset
 

@@ -37,19 +37,28 @@ def main(outdir="/tmp/perf_r3"):
         env.update(env_extra)
         # train step only once (slow compile); batch2 every time (cheap)
         env["BENCH_TRAIN"] = "1" if name == "baseline" else "0"
+        # bench's internal deadline must fire BEFORE our subprocess
+        # timeout so a wedged variant still emits structured JSON and
+        # the remaining variants run
+        env.setdefault("BENCH_DEADLINE", "1650")
         out_path = os.path.join(outdir, f"bench_{name}.json")
         print(f"=== {name} {env_extra} ===", flush=True)
-        r = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
-                           env=env, capture_output=True, text=True,
-                           timeout=1800)
-        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(repo, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=1800)
+            line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+            rc = r.returncode
+            if rc != 0:
+                print(r.stderr[-2000:], file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            line, rc = "", -1
         print(line, flush=True)
-        if r.returncode != 0:
-            print(r.stderr[-2000:], file=sys.stderr)
         try:
             results[name] = json.loads(line)
         except json.JSONDecodeError:
-            results[name] = {"error": "unparseable", "rc": r.returncode}
+            results[name] = {"error": "capture_timeout" if rc == -1
+                             else "unparseable", "rc": rc}
         with open(out_path, "w") as f:
             json.dump(results[name], f)
     print("\n=== summary ===")
