@@ -387,6 +387,7 @@ def main():
         "fps_uniform": round(fps_uniform, 3),
         "fps_windows": [round(v, 3) for v in windows],
         "pallas": os.environ.get("PARTNER_TPU_PALLAS", "0"),
+        "fused_head": os.environ.get("PARTNER_TPU_FUSED_HEAD", "0"),
     }
     if fps_batch2 is not None:
         payload["fps_batch2"] = round(fps_batch2, 3)

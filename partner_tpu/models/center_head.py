@@ -152,12 +152,14 @@ class ConvGNStack(nn.Module):
 class SepHead(nn.Module):
     """Per-task separate conv heads (center_head.py:65-107).
 
-    At inference the standard num_conv=2 branch stacks are horizontally
-    fused — one concatenated-kernel hidden conv (a single read of the
-    input map, full MXU lane tile instead of 64-out slivers) + one
+    At inference the standard num_conv=2 branch stacks CAN be
+    horizontally fused — one concatenated-kernel hidden conv + one
     block-diagonal out conv — mathematically identical per channel,
-    params unchanged (see e2e_head._fused_branches for the rationale).
-    PARTNER_TPU_FUSED_HEAD=0 opts out."""
+    params unchanged (see e2e_head._fused_branches). On-chip A/B
+    (2026-08-19, /tmp/perf_r3) measured the fusion as a LOSS at frame
+    scale (50.08 FPS unfused vs 48.56 fused — the block-diagonal conv2
+    adds real MXU FLOPs that outweigh the saved input reads), so it is
+    default OFF; PARTNER_TPU_FUSED_HEAD=1 opts in."""
 
     heads: Any  # dict name -> (out_channels, num_conv)
     init_bias: float = -2.19
@@ -167,7 +169,7 @@ class SepHead(nn.Module):
         heads = dict(self.heads)
         fused = (
             not train and not self.is_initializing()
-            and os.environ.get("PARTNER_TPU_FUSED_HEAD", "1") != "0"
+            and os.environ.get("PARTNER_TPU_FUSED_HEAD", "0") == "1"
             and len(heads) > 1
             and all(nc == 2 for _, nc in heads.values())
         )

@@ -224,7 +224,7 @@ class E2ESWVoteHead(nn.Module):
         """x: (B, n_az, n_r, in_channels) BEV feature map."""
         det = not train
         fused = (det and not self.is_initializing()
-                 and os.environ.get("PARTNER_TPU_FUSED_HEAD", "1") != "0")
+                 and os.environ.get("PARTNER_TPU_FUSED_HEAD", "0") == "1")
         v = None
         if fused:
             v = self._fused_branches(

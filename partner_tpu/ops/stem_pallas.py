@@ -28,11 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def available():
-    """Use the fused kernel? Non-CPU backend + opt-in env (default off
-    until the kernel's lowering is verified on the target backend; the
-    bench flips PARTNER_TPU_PALLAS=1)."""
-    return (jax.default_backend() != "cpu"
-            and os.environ.get("PARTNER_TPU_PALLAS", "0") == "1")
+    """Use the fused kernel? Non-CPU backend + opt-in env. Default OFF:
+    the on-chip A/B (2026-08-19) measured the combined Pallas path as a
+    large frame-scale LOSS (29.3 vs 48.6 FPS with both kernels on).
+    PARTNER_TPU_PALLAS=1 enables both kernels; PARTNER_TPU_PALLAS_STEM
+    enables/disables this one individually for attribution."""
+    flag = os.environ.get("PARTNER_TPU_PALLAS_STEM",
+                          os.environ.get("PARTNER_TPU_PALLAS", "0"))
+    return jax.default_backend() != "cpu" and flag == "1"
 
 
 def _kernel(x_ref, m_ref, w1_ref, a1_ref, b1_ref, w2_ref, a2_ref, b2_ref,

@@ -3,11 +3,12 @@ one JSON per variant.
 
 Usage: python tools/capture_perf.py [outdir]   (default /tmp/perf_r3)
 
-Variants:
-  baseline      — current defaults (fused heads ON, pallas OFF)
-  nofuse        — PARTNER_TPU_FUSED_HEAD=0 (measures the fusion win)
-  pallas        — PARTNER_TPU_PALLAS=1 (stem + swin kernels)
-  pallas_nofuse — kernels on, fusion off (attribution)
+Round-3 matrix (2026-08-19, post A/B flips — defaults are now fused
+heads OFF + pallas OFF, the measured winner at 50.08 FPS):
+  baseline      — current defaults
+  fuse          — PARTNER_TPU_FUSED_HEAD=1 (the measured-loss knob)
+  pallas_stem   — only the fused stem kernel on (attribution)
+  pallas_attn   — only the fused vote-Swin attention kernel on
 
 Each run also reports train_step_ms and fps_batch2 (in-bench). The
 summary table prints at the end; feed the winners into PERF.md and flip
@@ -21,10 +22,9 @@ import sys
 
 VARIANTS = [
     ("baseline", {}),
-    ("nofuse", {"PARTNER_TPU_FUSED_HEAD": "0"}),
-    ("pallas", {"PARTNER_TPU_PALLAS": "1"}),
-    ("pallas_nofuse", {"PARTNER_TPU_PALLAS": "1",
-                       "PARTNER_TPU_FUSED_HEAD": "0"}),
+    ("fuse", {"PARTNER_TPU_FUSED_HEAD": "1"}),
+    ("pallas_stem", {"PARTNER_TPU_PALLAS_STEM": "1"}),
+    ("pallas_attn", {"PARTNER_TPU_PALLAS_ATTN": "1"}),
 ]
 
 
