@@ -147,20 +147,34 @@ class WindowAttention(nn.Module):
 
         # eps INSIDE the sqrt: the plain L2 norm has a NaN gradient at
         # exactly-zero vectors (padded cells at init), and clamping the
-        # product downstream does not fix the norm's own VJP
-        # cosine-attention logits accumulate in f32 regardless of the
-        # compute dtype (bf16 dot with f32 accumulation on the MXU)
+        # product downstream does not fix the norm's own VJP.
+        # Cosine attention is computed with PRE-normalized rows — q/|q| and
+        # k/|k| (and 1/tau folded into q) — so the normalization is two
+        # passes over the (nB, nh, T, hd) operands instead of a norm
+        # outer-product + divide pass over the (nB, nh, T, T) logits
+        # (same math as dividing the logits; logits still accumulate f32
+        # on the MXU via preferred_element_type).
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-12)
         kn = jnp.sqrt(jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-12)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) / (
-            qn * kn.transpose(0, 1, 3, 2)
-        )
-        attn = attn / jnp.clip(tau, min=0.01)
+        qh = (qf / (qn * jnp.clip(tau, min=0.01))).astype(q.dtype)
+        kh = (kf / kn).astype(k.dtype)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
+                          preferred_element_type=jnp.float32)
 
-        rel = pos[:, :, None, :] - pos[:, None, :, :]  # (nB, T, T, 2)
-        rpe = rpe_mod(rel.astype(self.dtype))  # (nB, T, T, nh)
+        # RPE, decomposed: layer-1 is linear, so over a difference
+        # rel@W0 + b0 == pos_i@W0 - pos_j@W0 + b0. Computing u = pos@W0
+        # per CELL (nB, T, hidden) turns the per-PAIR (nB, T, T, 2)
+        # rel materialization + per-pair first matmul into a broadcast
+        # subtract that XLA fuses into the tiny second matmul.
+        rpe_mod(jnp.zeros((1, 2), self.dtype))  # bind/create params
+        rp = rpe_mod.variables["params"]
+        u = (pos.astype(self.dtype) @ rp["Dense_0"]["kernel"].astype(
+            self.dtype))  # (nB, T, hidden)
+        h01 = nn.relu(u[:, :, None, :] - u[:, None, :, :]
+                      + rp["Dense_0"]["bias"].astype(self.dtype))
+        rpe = (h01 @ rp["Dense_1"]["kernel"].astype(self.dtype)
+               + rp["Dense_1"]["bias"].astype(self.dtype))  # (nB,T,T,nh)
         attn = attn + rpe.transpose(0, 3, 1, 2).astype(jnp.float32)
 
         if mask is not None:
