@@ -157,3 +157,42 @@ class PosEmbedMLP(nn.Module):
                           momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         return nn.Dense(self.num_heads, dtype=self.dtype)(x)
+
+
+def decompose_pos_mlp(mlp, dt):
+    """Split a bound :class:`PosEmbedMLP` into per-TOKEN / per-PAIR parts.
+
+    The bias over position differences is ``mlp(pos_a - pos_b)``; its
+    first layer (Dense, and BN which is a per-channel affine at
+    inference) is linear, so ``(pos_a - pos_b) @ W == pos_a @ W -
+    pos_b @ W``. Returns ``(proj, finish)`` with
+
+        bias == finish(proj(pos_a)[...broadcast] - proj(pos_b)[...])
+
+    ``proj`` runs per token — the (..., T, T, 2) rel tensor is never
+    materialized and the first matmul is O(tokens) not O(pairs); the
+    remaining per-pair work (broadcast subtract + relu + hidden->heads
+    matmul) fuses in XLA. Inference only: at train time BN uses batch
+    statistics over the pair tensor, which this split does not model.
+    The caller must have created/bound ``mlp`` (same param tree as the
+    direct call — this reads, never creates, params)."""
+    p = mlp.variables["params"]
+    w0 = p["Dense_0"]["kernel"].astype(dt)
+    b0 = p["Dense_0"]["bias"].astype(dt)
+    if "BatchNorm_0" in p:
+        bnp = p["BatchNorm_0"]["BatchNorm_0"]
+        bns = mlp.variables["batch_stats"]["BatchNorm_0"]["BatchNorm_0"]
+        a = (bnp["scale"] / jnp.sqrt(bns["var"] + 1e-5)).astype(dt)
+        w0 = w0 * a[None, :]
+        b0 = (b0 * a + bnp["bias"].astype(dt)
+              - bns["mean"].astype(dt) * a)
+    w1 = p["Dense_1"]["kernel"].astype(dt)
+    b1 = p["Dense_1"]["bias"].astype(dt)
+
+    def proj(pos):
+        return pos.astype(dt) @ w0
+
+    def finish(h):
+        return nn.relu(h + b0) @ w1 + b1
+
+    return proj, finish

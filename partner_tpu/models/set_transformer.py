@@ -31,7 +31,24 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import DropPath, Mlp, PosEmbedMLP
+from .layers import DropPath, Mlp, PosEmbedMLP, decompose_pos_mlp
+
+
+def _pair_bias(parent, mlp, pos_a, pos_b, a_axis, b_axis, train):
+    """Relative-position bias mlp(pos_a - pos_b) with broadcast axes.
+
+    At inference the first linear+BN layer is decomposed per token
+    (see layers.decompose_pos_mlp) so the (..., 2) pair tensor is never
+    materialized; at train time (BN batch stats) the direct per-pair
+    path runs. Both branches create/use the identical param tree."""
+    if train or parent.is_initializing():
+        rel = (jnp.expand_dims(pos_a, a_axis)
+               - jnp.expand_dims(pos_b, b_axis))
+        return mlp(rel, train)
+    mlp(jnp.zeros((1, 2), pos_a.dtype), train=False)  # bind params
+    proj, finish = decompose_pos_mlp(mlp, mlp.dtype)
+    return finish(jnp.expand_dims(proj(pos_a), a_axis)
+                  - jnp.expand_dims(proj(pos_b), b_axis))
 
 
 def _split_heads(x, nh):
@@ -67,8 +84,9 @@ class SectorAttention(nn.Module):
         attn = jnp.einsum("bqwhd,bkwhd->bwhqk", q * jnp.asarray(scale, dt), k,
                           preferred_element_type=jnp.float32)
 
-        rel = s_pos[:, :, None] - x_pos[:, None, :]  # (B,Hk,H,W,2)
-        bias = PosEmbedMLP(nh, dtype=dt, name="pos_mlp")(rel, train)
+        # bias over (B,Hk,H,W,2) rel deltas, decomposed at inference
+        bias = _pair_bias(self, PosEmbedMLP(nh, dtype=dt, name="pos_mlp"),
+                          s_pos, x_pos, 2, 1, train)
         attn = attn + bias.transpose(0, 3, 4, 1, 2).astype(jnp.float32)
 
         attn = jax.nn.softmax(attn, axis=-1).astype(dt)
@@ -125,8 +143,9 @@ class RangeAttention(nn.Module):
         attn = jnp.einsum("bnqhd,bnkhd->bnhqk", q * jnp.asarray(scale, dt), k,
                           preferred_element_type=jnp.float32)
 
-        rel = pw[:, :, :, None] - pw[:, :, None, :]  # (B,nw,T,T,2)
-        bias = PosEmbedMLP(nh, dtype=dt, name="pos_mlp")(rel, train)
+        # bias over (B,nw,T,T,2) rel deltas, decomposed at inference
+        bias = _pair_bias(self, PosEmbedMLP(nh, dtype=dt, name="pos_mlp"),
+                          pw, pw, 3, 2, train)
         attn = attn + bias.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(dt)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
@@ -173,8 +192,9 @@ class SectorBroadcast(nn.Module):
         scale = (c // nh) ** -0.5
         attn = jnp.einsum("bqwhd,bkwhd->bwhqk", q * jnp.asarray(scale, dt), k,
                           preferred_element_type=jnp.float32)
-        rel = x_pos[:, :, None] - s_pos[:, None, :]  # (B,H,Hk,W,2)
-        bias = PosEmbedMLP(nh, dtype=dt, name="pos_mlp")(rel, train)
+        # bias over (B,H,Hk,W,2) rel deltas, decomposed at inference
+        bias = _pair_bias(self, PosEmbedMLP(nh, dtype=dt, name="pos_mlp"),
+                          x_pos, s_pos, 2, 1, train)
         attn = attn + bias.transpose(0, 3, 4, 1, 2).astype(jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(dt)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)

@@ -83,3 +83,35 @@ class TestSwinVote:
         y1 = model.apply(variables, x, pos, v1)
         y2 = model.apply(variables, x, pos, v2)
         assert float(jnp.abs(y1 - y2).max()) > 1e-4
+
+
+class TestDecomposedPosBias:
+    """decompose_pos_mlp must reproduce the direct per-pair PosEmbedMLP
+    bias at inference (BN folded as a per-channel affine)."""
+
+    def test_matches_direct_pair_path(self, rng):
+        from partner_tpu.models.layers import PosEmbedMLP, decompose_pos_mlp
+
+        mlp = PosEmbedMLP(4)
+        pos_a = jnp.asarray(rng.randn(2, 5, 7, 2).astype(np.float32))
+        pos_b = jnp.asarray(rng.randn(2, 9, 7, 2).astype(np.float32))
+        rel = pos_a[:, :, None] - pos_b[:, None, :]  # (2,5,9,7,2)
+        variables = mlp.init(jax.random.PRNGKey(0), rel, train=True)
+        # make running stats non-trivial (fresh init has mean 0 / var 1)
+        variables = jax.tree_util.tree_map(lambda v: v, variables)
+        bs = variables["batch_stats"]["BatchNorm_0"]["BatchNorm_0"]
+        bs["mean"] = jnp.asarray(rng.randn(16).astype(np.float32)) * 0.3
+        bs["var"] = jnp.asarray(
+            np.abs(rng.randn(16)).astype(np.float32)) + 0.5
+
+        direct = mlp.apply(variables, rel, train=False)
+
+        def decomposed(vs):
+            bound = mlp.bind(vs)
+            bound(jnp.zeros((1, 2), jnp.float32), train=False)
+            proj, finish = decompose_pos_mlp(bound, jnp.float32)
+            return finish(proj(pos_a)[:, :, None] - proj(pos_b)[:, None, :])
+
+        got = decomposed(variables)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                                   rtol=2e-5, atol=2e-5)
