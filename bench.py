@@ -65,6 +65,18 @@ _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "LAST_GOOD_BENCH.json")
 
 
+def _pallas_stem_on():
+    from partner_tpu.ops import stem_pallas
+
+    return stem_pallas.available()
+
+
+def _pallas_attn_on():
+    from partner_tpu.ops import swin_attn_pallas
+
+    return swin_attn_pallas.available()
+
+
 def _fail(error, rc, **extra):
     payload = {
         "metric": "waymo_partner_infer_fps",
@@ -386,7 +398,12 @@ def main():
         "point_dist": os.environ.get("BENCH_DIST", "realistic"),
         "fps_uniform": round(fps_uniform, 3),
         "fps_windows": [round(v, 3) for v in windows],
-        "pallas": os.environ.get("PARTNER_TPU_PALLAS", "0"),
+        # effective per-kernel gates (each honors its own
+        # PARTNER_TPU_PALLAS_{STEM,ATTN} override plus the umbrella
+        # PARTNER_TPU_PALLAS), so capture_perf variants attribute
+        # correctly instead of all reporting pallas=0
+        "pallas_stem": int(_pallas_stem_on()),
+        "pallas_attn": int(_pallas_attn_on()),
         "fused_head": os.environ.get("PARTNER_TPU_FUSED_HEAD", "0"),
     }
     if fps_batch2 is not None:

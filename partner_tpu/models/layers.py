@@ -14,6 +14,11 @@ import jax.numpy as jnp
 
 BN_MOMENTUM = 0.99  # torch momentum 0.01
 BN_EPS = 1e-3
+# the attention pos-embed stacks use plain torch BatchNorm1d defaults
+# (set_transformer.py:88-92; sw2votev4_util.py:58-60); shared between
+# PosEmbedMLP and decompose_pos_mlp so the inference-time BN fold can
+# never drift from the module it folds
+POS_BN_EPS = 1e-5
 
 
 class MaskedBatchNorm(nn.Module):
@@ -154,7 +159,8 @@ class PosEmbedMLP(nn.Module):
             # the reference stacks use plain BatchNorm1d defaults here
             # (eps 1e-5, momentum 0.1), unlike the conv trunks' 1e-3/0.01
             x = BatchNorm(use_running_average=not train,
-                          momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+                          momentum=0.9, epsilon=POS_BN_EPS,
+                          dtype=self.dtype)(x)
         x = nn.relu(x)
         return nn.Dense(self.num_heads, dtype=self.dtype)(x)
 
@@ -175,24 +181,31 @@ def decompose_pos_mlp(mlp, dt):
     matmul) fuses in XLA. Inference only: at train time BN uses batch
     statistics over the pair tensor, which this split does not model.
     The caller must have created/bound ``mlp`` (same param tree as the
-    direct call — this reads, never creates, params)."""
+    direct call — this reads, never creates, params).
+
+    Precision contract: ``proj`` computes and returns **f32** regardless
+    of ``dt`` — absolute positions reach ~75 m where bf16 ULP is 0.5,
+    so a bf16 projection would cancel away the sub-meter deltas the
+    caller's broadcast subtract extracts. ``finish`` adds the folded
+    bias in f32 and casts to ``dt`` only then, when values are small."""
     p = mlp.variables["params"]
-    w0 = p["Dense_0"]["kernel"].astype(dt)
-    b0 = p["Dense_0"]["bias"].astype(dt)
+    f32 = jnp.float32
+    w0 = p["Dense_0"]["kernel"].astype(f32)
+    b0 = p["Dense_0"]["bias"].astype(f32)
     if "BatchNorm_0" in p:
         bnp = p["BatchNorm_0"]["BatchNorm_0"]
         bns = mlp.variables["batch_stats"]["BatchNorm_0"]["BatchNorm_0"]
-        a = (bnp["scale"] / jnp.sqrt(bns["var"] + 1e-5)).astype(dt)
+        a = (bnp["scale"] / jnp.sqrt(bns["var"] + POS_BN_EPS)).astype(f32)
         w0 = w0 * a[None, :]
-        b0 = (b0 * a + bnp["bias"].astype(dt)
-              - bns["mean"].astype(dt) * a)
+        b0 = (b0 * a + bnp["bias"].astype(f32)
+              - bns["mean"].astype(f32) * a)
     w1 = p["Dense_1"]["kernel"].astype(dt)
     b1 = p["Dense_1"]["bias"].astype(dt)
 
     def proj(pos):
-        return pos.astype(dt) @ w0
+        return pos.astype(f32) @ w0
 
     def finish(h):
-        return nn.relu(h + b0) @ w1 + b1
+        return nn.relu((h + b0).astype(dt)) @ w1 + b1
 
     return proj, finish

@@ -167,12 +167,19 @@ class WindowAttention(nn.Module):
         # per CELL (nB, T, hidden) turns the per-PAIR (nB, T, T, 2)
         # rel materialization + per-pair first matmul into a broadcast
         # subtract that XLA fuses into the tiny second matmul.
+        # u and the subtract stay f32: positions reach ~75 m (pc_range)
+        # where bf16 ULP is 0.5, so casting u before the subtract would
+        # cancel away the sub-meter within-window deltas the bias
+        # encodes. Cast to compute dtype only AFTER the subtract, when
+        # the values are small again (matches the Pallas kernel, which
+        # also computes rel in f32).
         rpe_mod(jnp.zeros((1, 2), self.dtype))  # bind/create params
         rp = rpe_mod.variables["params"]
-        u = (pos.astype(self.dtype) @ rp["Dense_0"]["kernel"].astype(
-            self.dtype))  # (nB, T, hidden)
-        h01 = nn.relu(u[:, :, None, :] - u[:, None, :, :]
-                      + rp["Dense_0"]["bias"].astype(self.dtype))
+        u = (pos.astype(jnp.float32)
+             @ rp["Dense_0"]["kernel"].astype(jnp.float32))  # (nB,T,hid)
+        h01 = (u[:, :, None, :] - u[:, None, :, :]
+               + rp["Dense_0"]["bias"].astype(jnp.float32))
+        h01 = nn.relu(h01.astype(self.dtype))
         rpe = (h01 @ rp["Dense_1"]["kernel"].astype(self.dtype)
                + rp["Dense_1"]["bias"].astype(self.dtype))  # (nB,T,T,nh)
         attn = attn + rpe.transpose(0, 3, 1, 2).astype(jnp.float32)
