@@ -94,13 +94,15 @@ train_pipeline = [
     dict(type="LoadPointCloudFromFile", dataset=dataset_type,
          super_tasks=super_tasks),
     dict(type="LoadPointCloudAnnotations", with_bbox=True),
-    dict(type="Preprocess", cfg=train_preprocessor),
+    dict(type="Preprocess", cfg=train_preprocessor,
+         super_tasks=super_tasks),
     dict(type="Voxelization", cfg=voxel_generator),
     dict(type="AssignLabel", cfg=train_cfg["assigner"]),
     dict(type="Reformat"),
 ]
 test_pipeline = list(train_pipeline)
-test_pipeline[2] = dict(type="Preprocess", cfg=val_preprocessor)
+test_pipeline[2] = dict(type="Preprocess", cfg=val_preprocessor,
+                        super_tasks=super_tasks)
 
 train_anno = "data/nuScenes/infos_train_%02dsweeps_withvelo_filter_True.pkl" % nsweeps
 val_anno = "data/nuScenes/infos_val_%02dsweeps_withvelo_filter_True.pkl" % nsweeps

@@ -97,11 +97,12 @@ class GroupSampler:
 
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=2,
-                 max_points=200000, num_hosts=1, host_id=0, seed=0,
-                 prefetch=4, collate_fn=None, group_by_flag=None):
+                 max_points=200000, max_voxels=None, num_hosts=1, host_id=0,
+                 seed=0, prefetch=4, collate_fn=None, group_by_flag=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_points = max_points
+        self.max_voxels = max_voxels
         flag = getattr(dataset, "flag", None)
         if group_by_flag is None:
             # group-aware only when the dataset declares >1 group — with a
@@ -120,7 +121,8 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.collate_fn = collate_fn or (
-            lambda items: collate(items, max_points=self.max_points)
+            lambda items: collate(items, max_points=self.max_points,
+                                  max_voxels=self.max_voxels)
         )
         self.epoch = 0
 
@@ -182,12 +184,12 @@ class DataLoader:
 
 
 def build_dataloader(dataset, batch_size, workers_per_gpu=2, shuffle=True,
-                     max_points=200000, **kwargs):
+                     max_points=200000, max_voxels=None, **kwargs):
     import jax
 
     return DataLoader(
         dataset, batch_size, shuffle=shuffle, num_workers=workers_per_gpu,
-        max_points=max_points,
+        max_points=max_points, max_voxels=max_voxels,
         num_hosts=jax.process_count(), host_id=jax.process_index(),
         **kwargs,
     )

@@ -142,6 +142,9 @@ class LoadPointCloudFromFile:
                 pad = np.full((len(points), 1), -1, points.dtype)
                 pad[: len(labels)] = labels
                 res["lidar"]["points"] = np.hstack([res["lidar"]["points"], pad])
+                # tells Preprocess the last column IS a label column — a
+                # seg config on label-less infos must not strip a feature
+                res["lidar"]["seg_labeled"] = True
         else:
             raise NotImplementedError(self.type)
         return res, info
@@ -261,7 +264,8 @@ class Preprocess:
         if self.mode in ("train", "debug_gt"):
             res["lidar"]["annotations"] = gt_dict
 
-        if "seg" in self.super_tasks and res["mode"] in ("train", "debug_gt"):
+        if ("seg" in self.super_tasks and res["mode"] in ("train", "debug_gt")
+                and res["lidar"].get("seg_labeled")):
             res["lidar"]["pc_label"] = points[:, -1:].copy()
             points = points[:, :-1]
 

@@ -131,6 +131,10 @@ def evaluate(det, cfg, dataset, variables, work_dir, logger,
         )
         out = jax.tree_util.tree_map(np.asarray, out)
         times.append(time.perf_counter() - t0)
+        # double-flip TTA batches carry 4 point-buffer rows per example
+        # [orig, yflip, xflip, xyflip]; detections come back de-flipped at
+        # one row per example — index the ORIGINAL points at group stride
+        group = len(batch["points"]) // max(1, len(batch["metadata"]))
         for i, meta in enumerate(batch["metadata"]):
             token = meta["token"] if meta else str(n_frames)
             if "box3d_lidar" in out:
@@ -142,11 +146,12 @@ def evaluate(det, cfg, dataset, variables, work_dir, logger,
                     "metadata": meta,
                 }
             if "point_seg_labels" in out:
-                pm = np.asarray(batch["points_mask"][i])
+                pm = np.asarray(batch["points_mask"][i * group])
                 n_key = (meta or {}).get("n_key_points", int(pm.sum()))
                 seg_preds[token] = {
                     "labels": out["point_seg_labels"][i][:n_key],
-                    "xy": np.asarray(batch["points"][i][:n_key, xy_cols]),
+                    "xy": np.asarray(
+                        batch["points"][i * group][:n_key, xy_cols]),
                 }
             n_frames += 1
         if max_frames and n_frames >= max_frames:

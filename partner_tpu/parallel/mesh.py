@@ -42,6 +42,73 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def parse_mesh_spec(spec, n_devices):
+    """Parse a CLI mesh spec "data=4,model=2,azimuth=1" -> (nd, nm, na).
+
+    Unnamed axes default to 1; spec None or "auto" puts every device on
+    the data axis (the reference trains distributed-by-default,
+    tools/train.py:100-107 + apis/train.py:330-336)."""
+    if spec in (None, "", "auto"):
+        return n_devices, 1, 1
+    sizes = {"data": None, "model": 1, "azimuth": 1}
+    for part in str(spec).split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in sizes:
+            raise ValueError(f"unknown mesh axis {k!r} (data/model/azimuth)")
+        sizes[k] = int(v)
+    if sizes["data"] is None:
+        sizes["data"] = max(1, n_devices // (sizes["model"] * sizes["azimuth"]))
+    return sizes["data"], sizes["model"], sizes["azimuth"]
+
+
+def shard_batch(batch, mesh, batch_dim_size=None):
+    """Host batch -> mesh-sharded device arrays: leading (batch) dim over
+    'data' for arrays whose leading dim matches the batch size, replicated
+    otherwise. Lists (per-task targets) shard element-wise. Multi-host
+    processes contribute their local shard of the global batch via
+    make_array_from_process_local_data."""
+    import jax
+
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    multihost = jax.process_count() > 1
+
+    def put(v):
+        sh = (bsh if getattr(v, "ndim", 0) >= 1 and batch_dim_size
+              and v.shape[0] == batch_dim_size else rep)
+        if multihost and sh is bsh:
+            return jax.make_array_from_process_local_data(sh, np.asarray(v))
+        return jax.device_put(v, sh)
+
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (list, tuple)):
+            out[k] = [put(x) for x in v]
+        else:
+            out[k] = put(v)
+    return out
+
+
+def place_train_state(state, mesh):
+    """Place a TrainState on the mesh: large kernels channel-sharded over
+    'model' (TP), everything else replicated — the placement proven by the
+    multichip dryrun (__graft_entry__._dryrun_multichip_inproc)."""
+    import jax
+
+    rep = replicated(mesh)
+    psh = param_sharding(state.params, mesh)
+    return state.replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, psh),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+            state.opt_state,
+        ),
+        step=jax.device_put(state.step, rep),
+    )
+
+
 def param_sharding(params, mesh, min_size=2 ** 16):
     """Tensor-parallel rule: shard the last (output-channel) dim of large
     kernels over 'model' when divisible; replicate everything else."""
