@@ -119,7 +119,8 @@ val_preprocessor = dict(
 )
 
 train_pipeline = [
-    dict(type="LoadPointCloudFromFile", dataset=dataset_type),
+    dict(type="LoadPointCloudFromFile", dataset=dataset_type,
+         super_tasks=super_tasks),
     dict(type="LoadPointCloudAnnotations", with_bbox=True),
     dict(type="Preprocess", cfg=train_preprocessor,
          super_tasks=super_tasks),

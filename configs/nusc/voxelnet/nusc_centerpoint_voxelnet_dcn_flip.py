@@ -55,4 +55,9 @@ test_pipeline.insert(4, dict(type="DoubleFlip"))
 test_pipeline[-1] = dict(type="Reformat", double_flip=DOUBLE_FLIP)
 train_pipeline = list(train_pipeline)
 train_pipeline[3] = dict(type="Voxelization", cfg=voxel_generator)
+# re-point the data dicts at the REBUILT pipelines — the base config's
+# data still references its own lists, which lack the DoubleFlip stage
+data = dict(data)
+data["train"] = dict(data["train"], pipeline=train_pipeline)
+data["val"] = dict(data["val"], pipeline=test_pipeline)
 work_dir = "./work_dirs/nusc_centerpoint_voxelnet_dcn_flip/"

@@ -162,7 +162,10 @@ class WaymoDataset(PointCloudDataset):
 
 @DATASETS.register_module(name="NuScenesDataset")
 class NuScenesDataset(PointCloudDataset):
-    NumPointFeatures = 4  # x, y, z, intensity (+ time channel when sweeps)
+    NumPointFeatures = 4  # x, y, z, intensity
+    # the loader appends the per-point time-lag channel unconditionally
+    # (pipeline.py LoadPointCloudFromFile nusc branch), even at nsweeps=1
+    ExtraPointChannels = 1
 
     CLASSES = (
         "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",

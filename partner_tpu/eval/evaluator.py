@@ -68,7 +68,10 @@ def init_example(dataset, kind):
     """Tiny example for parameter init under the chosen contract."""
     import jax.numpy as jnp
 
-    nf = dataset.NumPointFeatures + 2  # + rho, phi decoration columns
+    # + per-point extras the loader appends unconditionally (nuScenes time
+    # lag), + rho, phi decoration columns from transform_points
+    nf = (dataset.NumPointFeatures
+          + getattr(dataset, "ExtraPointChannels", 0) + 2)
     if kind == "points":
         return {
             "points": jnp.zeros((1, 1024, nf)),

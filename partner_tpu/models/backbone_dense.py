@@ -413,8 +413,12 @@ class PolarDenseFHD(nn.Module):
 
         # channel-major throughout the decorate+stem: one transposed read
         # of the (B, P, ~7) buffer instead of lane-padded passes (the
-        # minor dim of a (P, 7) f32 tensor pads 7 -> 128 on TPU)
-        pts_t = points.transpose(0, 2, 1)  # (B, C, P)
+        # minor dim of a (P, 7) f32 tensor pads 7 -> 128 on TPU).
+        # Slice to num_input_features like the reference VFE does
+        # (readers/voxel_encoder.py:15-22) — nusc pipelines carry extra
+        # trailing columns (time lag, rho/phi decorations) the config's
+        # channel count excludes
+        pts_t = points.transpose(0, 2, 1)[:, : self.num_input_features]
         rza_t = pts_t[:, :3]  # rho, phi, z
         g = (rza_t - pr[jnp.asarray([0, 1, 2])][None, :, None]) \
             / cell[None, :, None]

@@ -504,11 +504,18 @@ class PolarStreamDetector(Detector):
 
 
 @DETECTORS.register_module(name="PolarStream")
+@DETECTORS.register_module(name="PolarStreamBDCP")
 def build_polarstream(reader, neck, bbox_head, backbone=None, seg_head=None,
                       pretrained=None, train_cfg=None, test_cfg=None,
                       max_pillars=None, part_head=None):
     """PolarStream factory. nsectors comes from the head's voxel_generator
-    (nsectors key, matching the reference config contract)."""
+    (nsectors key, matching the reference config contract).
+
+    Registered under BOTH reference detector names: the reference's
+    PolarStreamBDCP (det3d/models/detectors/polarstream.py) only differs
+    from PolarStream by feeding previous-sweep features to the
+    bidirectional-context neck, which here is selected by the neck type
+    (RPNBDCP) alone — the factory is shared."""
     grid, pc_range, voxel_size = _grid_spec(bbox_head)
     osf = bbox_head.get("out_size_factor", 8)
     vg = bbox_head["voxel_generator"]

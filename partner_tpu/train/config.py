@@ -43,6 +43,50 @@ def _wrap(value):
     return value
 
 
+def _install_det3d_shim():
+    """Make the REFERENCE's own config files loadable unedited.
+
+    The only det3d import across the reference configs tree is
+    ``from det3d.utils.config_tool import get_downsample_factor``
+    (/root/reference/det3d/utils/config_tool.py:39-53); synthesize that
+    module when no real det3d is installed, so SURVEY 5.6's "reference
+    configs port with minimal edits" holds for zero edits."""
+    if "det3d.utils.config_tool" in sys.modules:
+        return
+    try:
+        import det3d.utils.config_tool  # noqa: F401  (real install wins)
+        return
+    except ImportError:
+        pass
+    import types
+
+    import numpy as np
+
+    def get_downsample_factor(model_config):
+        try:
+            neck_cfg = model_config["neck"]
+        except (KeyError, TypeError):
+            model_config = model_config["first_stage_cfg"]
+            neck_cfg = model_config["neck"]
+        factor = np.prod(neck_cfg.get("ds_layer_strides", [1]))
+        if len(neck_cfg.get("us_layer_strides", [])) > 0:
+            factor /= neck_cfg.get("us_layer_strides", [])[-1]
+        factor *= model_config["backbone"]["ds_factor"]
+        factor = int(factor)
+        assert factor > 0
+        return factor
+
+    pkg = types.ModuleType("det3d")
+    utils = types.ModuleType("det3d.utils")
+    tool = types.ModuleType("det3d.utils.config_tool")
+    tool.get_downsample_factor = get_downsample_factor
+    utils.config_tool = tool
+    pkg.utils = utils
+    sys.modules.setdefault("det3d", pkg)
+    sys.modules.setdefault("det3d.utils", utils)
+    sys.modules.setdefault("det3d.utils.config_tool", tool)
+
+
 class Config:
     def __init__(self, cfg_dict, filename=None, text=""):
         self._cfg_dict = ConfigDict({k: _wrap(v) for k, v in cfg_dict.items()})
@@ -56,6 +100,7 @@ class Config:
             raise FileNotFoundError(filename)
         if not filename.endswith(".py"):
             raise ValueError("config must be a .py file")
+        _install_det3d_shim()
         module_name = "_partner_cfg_" + os.path.splitext(
             os.path.basename(filename)
         )[0]

@@ -53,7 +53,8 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
     logger = get_logger(args.work_dir)
 
-    det = build_detector(cfg.model, cfg.get("train_cfg"), cfg.get("test_cfg"))
+    det = build_detector(cfg.model, cfg.get("train_cfg"), cfg.get("test_cfg"),
+                         voxel_generator=cfg.get("voxel_generator"))
     dataset = build_dataset(dict(cfg.data["val"]))
     kind = args.input if args.input != "auto" else getattr(
         det, "input_kind", "voxels")

@@ -119,7 +119,9 @@ def main():
             mesh, P(None, "azimuth", None, None))
 
     det = build_detector(cfg.model, cfg.get("train_cfg"),
-                         cfg.get("test_cfg"), **det_kwargs)
+                         cfg.get("test_cfg"),
+                         voxel_generator=cfg.get("voxel_generator"),
+                         **det_kwargs)
     dataset = build_dataset(dict(cfg.data["train"]))
     batch_size = args.batch_size or (
         cfg.data["samples_per_gpu"] * jax.local_device_count())
@@ -196,21 +198,31 @@ def main():
         dev_ex.update(features=feats, coords=coords, voxel_mask=vmask)
         return base_step(state, dev_ex, rng)
 
-    jax.set_mesh(mesh)  # global: jit reads shardings off the placed arrays
+    # no jax.set_mesh: every placement below uses explicit NamedShardings,
+    # which jit reads off the arrays; a global mesh context would leak
+    # into later same-process runs (it cannot be swapped for a different
+    # size once jitted functions captured it)
     # point-contract detectors (PolarStream sectors, pillar/STROBE and the
     # flagship dense-backbone fast path) voxelize/sectorize on device
     # themselves — route like the evaluator (eval/evaluator.py)
     step_fn = base_step if input_kind == "points" else step_with_voxelize
     jstep = jax.jit(step_fn, donate_argnums=(0,))
 
-    # init from first batch
+    # init from first batch (shape contract by the detector's input kind)
     it = iter(loader)
     first = next(it)
-    small = {
-        "features": jnp.zeros((1, 256, first["points"].shape[-1])),
-        "coords": jnp.zeros((1, 256, 3), jnp.int32),
-        "voxel_mask": jnp.zeros((1, 256), bool),
-    }
+    nf = first["points"].shape[-1]
+    if input_kind == "points":
+        small = {
+            "points": jnp.zeros((1, 1024, nf)),
+            "points_mask": jnp.zeros((1, 1024), bool),
+        }
+    else:
+        small = {
+            "features": jnp.zeros((1, 256, nf)),
+            "coords": jnp.zeros((1, 256, 3), jnp.int32),
+            "voxel_mask": jnp.zeros((1, 256), bool),
+        }
     variables = det.init(jax.random.PRNGKey(args.seed), small)
     state = create_train_state(variables, tx)
 
@@ -275,7 +287,7 @@ def main():
         for (si, ep, _, tim), m in zip(pending, fetched):
             scal = {k: float(v) for k, v in m.items()
                     if k == "loss" or k.startswith("loss_")
-                    or k == "grad_norm"}
+                    or k.endswith("_loss") or k == "grad_norm"}
             buffer.update({**tim, **scal})
             if tb_hook is not None:
                 tb_hook.log(si, scal, lr=float(lr_sched(si)))
