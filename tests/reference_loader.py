@@ -187,6 +187,24 @@ def load_reference_augment():
     return prep, utils
 
 
+def load_reference_kitti_eval():
+    """Returns the reference's executable KITTI-style eval module
+    (det3d/datasets/utils/eval.py: compute_statistics_jit:139-273,
+    image_box_overlap:277-307, box3d_overlap_kernel:321-353,
+    fast_hist/per_class_iu:368-383). Loaded directly from the file (it
+    imports only numpy + numba at module level) with numba stubbed, so
+    the kernels run as pure Python/numpy — the only executable
+    official-metric oracle in the sandbox."""
+    _install_stubs()
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_reference_kitti_eval", _REFERENCE + "/det3d/datasets/utils/eval.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_reference_set_transformer():
     """Returns the reference set_transformer module (pure torch,
     det3d/models/utils/set_transformer.py) for PARTNER attention parity."""
