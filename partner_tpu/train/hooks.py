@@ -75,7 +75,9 @@ class TextLoggerHook:
         if (step + 1) % self.interval:
             return
         buffer.average(self.interval)
-        parts = [f"Epoch [{epoch}][{step + 1}"
+        # step is global; display the within-epoch iter like the reference
+        it = (step % max_steps_in_epoch) + 1 if max_steps_in_epoch else step + 1
+        parts = [f"Epoch [{epoch}][{it}"
                  + (f"/{max_steps_in_epoch}]" if max_steps_in_epoch else "]")]
         parts.append(f"lr: {lr:.5f}")
         for k, v in buffer.output.items():

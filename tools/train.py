@@ -16,6 +16,7 @@ sync), per-epoch checkpoints.
 """
 
 import argparse
+import itertools
 import os
 import sys
 
@@ -323,7 +324,13 @@ def main():
     epoch = step_i // max(steps_per_epoch, 1)
     while step_i < total_steps:
         loader.set_epoch(epoch)
-        for batch in ([first] if step_i == start_step and epoch == 0 else loader):
+        # `first` was pulled off the epoch-0 iterator for shape init; chain
+        # it back so epoch 0 still sees every batch (the iterator was
+        # created at the loader's default epoch 0, so its permutation
+        # matches set_epoch(0))
+        batches = (itertools.chain([first], it)
+                   if step_i == start_step and epoch == 0 else loader)
+        for batch in batches:
             if step_i >= total_steps:
                 break
             if args.profile_dir and step_i == start_step + 10:
