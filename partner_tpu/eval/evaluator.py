@@ -97,16 +97,38 @@ def load_seg_gt(info):
 
 def evaluate(det, cfg, dataset, variables, work_dir, logger,
              batch_size=1, max_points=200000, max_frames=None,
-             input_kind=None, testset=False, predict_fn=None):
+             input_kind=None, testset=False, predict_fn=None, mesh=None):
     """Full predict -> gather -> dataset.evaluation pass.
 
     Returns (result, fps) on the main process, (None, fps) elsewhere.
+    With ``mesh``, eval runs mesh-sharded like training: the batch dim
+    shards over 'data', params TP-shard over 'model' (the reference's
+    DDP eval, tools/dist_test.py:127-135, in GSPMD form).
     """
     import jax
     import jax.numpy as jnp
 
     from ..data import build_dataloader
     from ..parallel import dist
+
+    batch_put = jnp.asarray
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.mesh import (batch_sharding, param_sharding,
+                                     replicated)
+
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh "
+                f"data={mesh.shape['data']}")
+        variables = dict(variables)
+        variables["params"] = jax.tree_util.tree_map(
+            jax.device_put, variables["params"],
+            param_sharding(variables["params"], mesh))
+        for k in variables:
+            if k != "params":
+                variables[k] = jax.device_put(variables[k], replicated(mesh))
+        bsh = batch_sharding(mesh)
+        batch_put = lambda v: jax.device_put(np.asarray(v), bsh)
 
     kind = input_kind or getattr(det, "input_kind", "voxels")
     predict = predict_fn or build_predict_fn(det, cfg, kind)
@@ -129,8 +151,8 @@ def evaluate(det, cfg, dataset, variables, work_dir, logger,
     for batch in loader:
         t0 = time.perf_counter()
         out = predict(
-            variables, jnp.asarray(batch["points"]),
-            jnp.asarray(batch["points_mask"]),
+            variables, batch_put(batch["points"]),
+            batch_put(batch["points_mask"]),
         )
         out = jax.tree_util.tree_map(np.asarray, out)
         times.append(time.perf_counter() - t0)

@@ -123,6 +123,44 @@ test_cfg["max_per_img"] = 32
 
 
 @pytest.mark.slow
+def test_mesh_eval_cli_matches_single_device(rng, tmp_path, monkeypatch):
+    """--mesh data=2 eval through the CLI (VERDICT r3 #1: the mesh in
+    dist_test too): batch shards over 'data', detections must match the
+    single-device run per token."""
+    root = str(tmp_path / "data")
+    info_path = _write_nusc_fixture(root, rng)
+    base = os.path.abspath(
+        os.path.join(CFG_DIR, "nusc/pp/polarstream_det_n_seg_1_sector.py"))
+    cfg_path = str(tmp_path / "cfg_mesh.py")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+exec(open({base!r}).read())
+voxel_generator["voxel_size"] = [0.784, 0.0984, 8]
+nsweeps = 1
+data["val"].update(info_path={info_path!r}, root_path={root!r}, nsweeps=1)
+test_cfg["nms"] = dict(nms_pre_max_size=128, nms_post_max_size=16,
+                       nms_iou_threshold=0.1)
+test_cfg["max_per_img"] = 32
+""")
+    preds = {}
+    for name, mesh in (("single", "data=1"), ("dp2", "data=2")):
+        wd = str(tmp_path / f"out_{name}")
+        _run_cli(monkeypatch, [
+            cfg_path, "--work_dir", wd, "--max_points", "2048",
+            "--batch_size", "2", "--mesh", mesh,
+        ])
+        with open(os.path.join(wd, "prediction.pkl"), "rb") as f:
+            preds[name] = pickle.load(f)
+    assert sorted(preds["single"]) == sorted(preds["dp2"])
+    for token in preds["single"]:
+        a, b = preds["single"][token], preds["dp2"][token]
+        assert len(a["scores"]) == len(b["scores"]), token
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+        np.testing.assert_allclose(a["box3d_lidar"], b["box3d_lidar"],
+                                   atol=1e-3)
+
+
+@pytest.mark.slow
 def test_double_flip_tta_cli_through_loader(rng, tmp_path, monkeypatch):
     """Flip-TTA eval driven from the real loader (VERDICT r3 missing #3):
     the dcn_flip config's DoubleFlip + Reformat(double_flip=True) pipeline

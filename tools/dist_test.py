@@ -31,6 +31,11 @@ def parse_args():
                    default="auto",
                    help="example contract fed to the detector; auto uses "
                         "the detector's declared input_kind")
+    p.add_argument("--mesh", default="data=1",
+                   help="device mesh spec 'data=N[,model=M][,azimuth=K]' "
+                        "for mesh-sharded eval (batch over 'data', params "
+                        "TP over 'model', azimuth-sector SP); the default "
+                        "keeps the single-device per-frame latency protocol")
     return p.parse_args()
 
 
@@ -53,8 +58,23 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
     logger = get_logger(args.work_dir)
 
+    from partner_tpu.parallel.mesh import make_mesh, parse_mesh_spec
+
+    n_data, n_model, n_az = parse_mesh_spec(args.mesh, len(jax.devices()))
+    mesh = None
+    det_kwargs = {}
+    if n_data * n_model * n_az > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(n_data, n_model, n_az)
+        logger.info(f"mesh: data={n_data} model={n_model} azimuth={n_az}")
+        if n_az > 1:
+            det_kwargs["bev_pspec"] = NamedSharding(
+                mesh, P(None, "azimuth", None, None))
+
     det = build_detector(cfg.model, cfg.get("train_cfg"), cfg.get("test_cfg"),
-                         voxel_generator=cfg.get("voxel_generator"))
+                         voxel_generator=cfg.get("voxel_generator"),
+                         **det_kwargs)
     dataset = build_dataset(dict(cfg.data["val"]))
     kind = args.input if args.input != "auto" else getattr(
         det, "input_kind", "voxels")
@@ -79,6 +99,7 @@ def main():
         det, cfg, dataset, variables, args.work_dir, logger,
         batch_size=args.batch_size, max_points=args.max_points,
         max_frames=args.max_frames, input_kind=kind, testset=args.testset,
+        mesh=mesh,
     )
     return result
 
