@@ -95,9 +95,12 @@ def main():
         }
         logger.info(f"loaded {args.checkpoint}")
 
+    # --speed_test forces batch 1 like the reference
+    # (tools/dist_test.py:118: samples_per_gpu unless speed_test)
+    batch_size = 1 if args.speed_test else args.batch_size
     result, _fps = evaluate(
         det, cfg, dataset, variables, args.work_dir, logger,
-        batch_size=args.batch_size, max_points=args.max_points,
+        batch_size=batch_size, max_points=args.max_points,
         max_frames=args.max_frames, input_kind=kind, testset=args.testset,
         mesh=mesh,
     )
