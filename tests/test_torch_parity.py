@@ -493,3 +493,37 @@ class TestFullDetectorParity:
                                        rtol=1e-3, atol=1e-3)
             np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
                                        rtol=1e-3, atol=1e-4)
+
+
+class TestDoubleFlipGolden:
+    """Executed-reference oracle for the double-flip TTA averaging
+    (reference center_head.py:290-348 double_flip_decode — a pure map
+    transform; it reads no module state, so it runs on a dummy self)."""
+
+    def test_double_flip_average_matches_reference(self, ref_modules, rng):
+        import torch
+
+        import jax.numpy as jnp
+
+        from partner_tpu.models.center_head import double_flip_average
+
+        _, CenterHead, _ = ref_modules
+        b, h, w = 2, 6, 5
+        maps = {
+            "hm": rng.randn(b * 4, h, w, 3).astype(np.float32),
+            "reg": rng.rand(b * 4, h, w, 2).astype(np.float32),
+            "height": rng.randn(b * 4, h, w, 1).astype(np.float32),
+            "dim": (rng.randn(b * 4, h, w, 3) * 0.3).astype(np.float32),
+            "rot": rng.randn(b * 4, h, w, 2).astype(np.float32),
+            "vel": rng.randn(b * 4, h, w, 2).astype(np.float32),
+        }
+        preds_t = {k: torch.tensor(v.copy()) for k, v in maps.items()}
+        meta = list(range(b * 4))
+        CenterHead.double_flip_decode(None, preds_t, meta)
+
+        ours = double_flip_average({k: jnp.asarray(v)
+                                    for k, v in maps.items()})
+        for k in ("hm", "reg", "height", "dim", "rot", "vel"):
+            np.testing.assert_allclose(
+                np.asarray(ours[k]), preds_t[k].numpy(),
+                rtol=1e-5, atol=1e-5, err_msg=k)
