@@ -108,6 +108,31 @@ def test_circle_nms_vs_oracle(rng):
         assert got == want
 
 
+def test_circle_nms_vs_executed_reference_kernel(rng):
+    """Golden: the reference's own numba circle_nms (circle_nms_jit.py,
+    run as pure Python with numba stubbed) on finite-score rows."""
+    import importlib.util
+
+    from reference_loader import _install_stubs
+
+    _install_stubs()
+    spec = importlib.util.spec_from_file_location(
+        "_ref_circle_nms",
+        "/root/reference/det3d/core/utils/circle_nms_jit.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    for _ in range(5):
+        centers = rng.uniform(-10, 10, (48, 2)).astype(np.float32)
+        scores = rng.rand(48).astype(np.float32)
+        dets = np.concatenate([centers, scores[:, None]], 1)
+        want = list(mod.circle_nms(dets.astype(np.float64), 2.0))[:20]
+        ki, km = circle_nms(jnp.asarray(centers), jnp.asarray(scores),
+                            2.0, 20)
+        got = list(np.asarray(ki)[np.asarray(km)])
+        assert got == want
+
+
 def test_center_coder_v2_roundtrip(rng):
     coder = CenterCoderV2(rectify=False)
     b = _boxes(rng, 8)
