@@ -260,3 +260,35 @@ class TestDetSeg:
                 if sel.any():
                     want[ai, ri] = np.bincount(lab[sel], minlength=4)[1:].argmax() + 1
         np.testing.assert_array_equal(got, want)
+
+    def test_majority_labels_vs_executed_reference_kernel(self, rng):
+        """Golden: the reference's numba assign_voxel_labels
+        (pipelines/preprocess.py:170-191, executed with numba stubbed) on
+        the labeled-point subset. Label 0 is our 'unlabeled' sentinel (the
+        reference counts it as a class), so parity is asserted on lab>0
+        points — the population both implementations assign from."""
+        import jax.numpy as jnp
+
+        from partner_tpu.models.polarstream import majority_cell_labels
+        from reference_loader import load_reference_assigner
+
+        AssignLabel, _ = load_reference_assigner()
+
+        grid = (4, 6, 1)  # n_r=4, n_az=6
+        n = 80
+        a = rng.randint(0, 6, n).astype(np.int32)
+        r = rng.randint(0, 4, n).astype(np.int32)
+        ok = rng.rand(n) > 0.1
+        lab = rng.randint(0, 4, n).astype(np.int32)
+
+        got = np.asarray(majority_cell_labels(
+            jnp.asarray(a)[None], jnp.asarray(r)[None],
+            jnp.asarray(ok)[None], jnp.asarray(lab)[None], grid, 3))[0]
+
+        sel = ok & (lab > 0)
+        pairs = np.stack([a[sel], r[sel], np.zeros(sel.sum(), np.int32),
+                          lab[sel]], 1).astype(np.int32)
+        pairs = pairs[np.lexsort((pairs[:, 2], pairs[:, 1], pairs[:, 0]))]
+        want = np.zeros((6, 4, 1), np.int32)
+        AssignLabel.assign_voxel_labels(pairs, want)
+        np.testing.assert_array_equal(got, want[..., 0])
