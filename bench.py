@@ -77,6 +77,12 @@ def _pallas_attn_on():
     return swin_attn_pallas.available()
 
 
+def _static_rpe_on():
+    # inference-time static-RPE bias tables (swin_vote.WindowAttention);
+    # default OFF until the on-chip A/B lands (capture_perf `static_rpe`)
+    return os.environ.get("PARTNER_TPU_STATIC_RPE", "0") == "1"
+
+
 def _fail(error, rc, **extra):
     payload = {
         "metric": "waymo_partner_infer_fps",
@@ -270,6 +276,11 @@ def main():
         init_example = {"points": pad_j[None, :2048],
                         "points_mask": mask_j[None, :2048]}
         variables = det.init(jax.random.PRNGKey(0), init_example)
+        if (_static_rpe_on() and hasattr(det, "prepare_inference")):
+            # one eager warmup stores the frame-invariant RPE bias tables
+            # (pure fn of frozen params + the fixed cell grid); the jitted
+            # frame then skips the per-frame pair-tensor rebuild
+            variables = det.prepare_inference(variables, init_example)
 
         @jax.jit
         def frame(variables, points, pmask):
@@ -405,6 +416,7 @@ def main():
         "pallas_stem": int(_pallas_stem_on()),
         "pallas_attn": int(_pallas_attn_on()),
         "fused_head": os.environ.get("PARTNER_TPU_FUSED_HEAD", "0"),
+        "static_rpe": int(_static_rpe_on()),
     }
     if fps_batch2 is not None:
         payload["fps_batch2"] = round(fps_batch2, 3)

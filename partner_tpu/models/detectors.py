@@ -228,6 +228,26 @@ class E2EDetector(Detector):
                             gt_mask, votemap)
         return ld, updates
 
+    def prepare_inference(self, variables, example):
+        """Precompute frame-invariant inference tables (static RPE bias).
+
+        Runs ONE eager forward with the ``rpe_cache`` collection mutable
+        so each SwinVote window-attention stores its (nW, nh, T, T)
+        relative-position-bias table (a pure function of the frozen RPE
+        params and the fixed cell-center grid — see
+        swin_vote.WindowAttention). Returns ``variables`` with the cache
+        merged; threading it through subsequent ``predict`` calls skips
+        the per-frame ~150 MB pair-tensor rebuild. Optional: callers that
+        skip the warmup get the unchanged live path.
+        """
+        _, upd = self.module.apply(
+            variables, example, train=False, mutable=["rpe_cache"]
+        )
+        if "rpe_cache" in upd:
+            variables = dict(variables)
+            variables["rpe_cache"] = upd["rpe_cache"]
+        return variables
+
     def predict(self, variables, example):
         preds = self.module.apply(variables, example, train=False)
         boxes, scores = e2e_head.decode_head_preds(

@@ -100,9 +100,11 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos, vote, mask=None, pad_mask=None,
-                 deterministic=True):
+                 deterministic=True, num_windows=None):
         # x (nB, T, C); pos (nB, T, 2); vote (nB, T, 3);
-        # mask (nW, T, T) or None; pad_mask (nB, T) True=valid
+        # mask (nW, T, T) or None; pad_mask (nB, T) True=valid;
+        # num_windows: static windows-per-sample count (for the static-RPE
+        # cache when mask is None)
         nb, t, c = x.shape
         nh = self.num_heads
         hd = c // nh
@@ -120,7 +122,26 @@ class WindowAttention(nn.Module):
         rpe_mod = RPEMLP(nh, dtype=self.dtype, name="rpe")
         tau = self.param("tau", nn.initializers.ones, (1, nh, 1, 1))
 
-        if (deterministic and pad_mask is None
+        # ---- static-RPE cache (inference) ---------------------------
+        # At inference the RPE bias is a pure function of the (frozen)
+        # MLP params and the per-window positions — which, for the E2E
+        # head, are the fixed cell-center grid: identical every frame.
+        # Recomputing it per frame materializes an (nB, T, T, hidden)
+        # f32 pair tensor (~150 MB at flagship scale) to reproduce a
+        # frame-invariant (nW, nh, T, T) table. Callers opt in by
+        # running ONE forward with mutable=["rpe_cache"]
+        # (E2EDetector.prepare_inference) and threading the returned
+        # collection through later applies; the fill pass stores exactly
+        # what the live path computed (region mask folded in), so a
+        # cached frame is the live frame minus the rebuild. Training and
+        # non-warmed callers are untouched.
+        cache_ok = (deterministic and pad_mask is None
+                    and not self.is_initializing())
+        filling = cache_ok and self.is_mutable_collection("rpe_cache")
+        cached = (cache_ok and not filling
+                  and self.has_variable("rpe_cache", "bias"))
+
+        if (deterministic and pad_mask is None and not cached
                 and not self.is_initializing() and swin_attn_pallas.available()):
             # fused inference path: cosine attention + RPE MLP + region
             # mask + softmax + AV in one VMEM-resident Pallas kernel
@@ -162,32 +183,51 @@ class WindowAttention(nn.Module):
         attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
                           preferred_element_type=jnp.float32)
 
-        # RPE, decomposed: layer-1 is linear, so over a difference
-        # rel@W0 + b0 == pos_i@W0 - pos_j@W0 + b0. Computing u = pos@W0
-        # per CELL (nB, T, hidden) turns the per-PAIR (nB, T, T, 2)
-        # rel materialization + per-pair first matmul into a broadcast
-        # subtract that XLA fuses into the tiny second matmul.
-        # u and the subtract stay f32: positions reach ~75 m (pc_range)
-        # where bf16 ULP is 0.5, so casting u before the subtract would
-        # cancel away the sub-meter within-window deltas the bias
-        # encodes. Cast to compute dtype only AFTER the subtract, when
-        # the values are small again (matches the Pallas kernel, which
-        # also computes rel in f32).
-        rpe_mod(jnp.zeros((1, 2), self.dtype))  # bind/create params
-        rp = rpe_mod.variables["params"]
-        u = (pos.astype(jnp.float32)
-             @ rp["Dense_0"]["kernel"].astype(jnp.float32))  # (nB,T,hid)
-        h01 = (u[:, :, None, :] - u[:, None, :, :]
-               + rp["Dense_0"]["bias"].astype(jnp.float32))
-        h01 = nn.relu(h01.astype(self.dtype))
-        rpe = (h01 @ rp["Dense_1"]["kernel"].astype(self.dtype)
-               + rp["Dense_1"]["bias"].astype(self.dtype))  # (nB,T,T,nh)
-        attn = attn + rpe.transpose(0, 3, 1, 2).astype(jnp.float32)
+        if cached:
+            # frame-invariant (nW, nh, T, T) table, region mask folded in
+            tbl = self.get_variable("rpe_cache", "bias")
+            nw = tbl.shape[0]
+            attn = (attn.reshape(nb // nw, nw, nh, t, t)
+                    + tbl[None]).reshape(nb, nh, t, t)
+        else:
+            # RPE, decomposed: layer-1 is linear, so over a difference
+            # rel@W0 + b0 == pos_i@W0 - pos_j@W0 + b0. Computing u = pos@W0
+            # per CELL (nB, T, hidden) turns the per-PAIR (nB, T, T, 2)
+            # rel materialization + per-pair first matmul into a broadcast
+            # subtract that XLA fuses into the tiny second matmul.
+            # u and the subtract stay f32: positions reach ~75 m (pc_range)
+            # where bf16 ULP is 0.5, so casting u before the subtract would
+            # cancel away the sub-meter within-window deltas the bias
+            # encodes. Cast to compute dtype only AFTER the subtract, when
+            # the values are small again (matches the Pallas kernel, which
+            # also computes rel in f32).
+            rpe_mod(jnp.zeros((1, 2), self.dtype))  # bind/create params
+            rp = rpe_mod.variables["params"]
+            u = (pos.astype(jnp.float32)
+                 @ rp["Dense_0"]["kernel"].astype(jnp.float32))  # (nB,T,hid)
+            h01 = (u[:, :, None, :] - u[:, None, :, :]
+                   + rp["Dense_0"]["bias"].astype(jnp.float32))
+            h01 = nn.relu(h01.astype(self.dtype))
+            rpe = (h01 @ rp["Dense_1"]["kernel"].astype(self.dtype)
+                   + rp["Dense_1"]["bias"].astype(self.dtype))  # (nB,T,T,nh)
+            rpe_t = rpe.transpose(0, 3, 1, 2).astype(jnp.float32)
+            attn = attn + rpe_t
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(nb // nw, nw, nh, t, t) + mask[None, :, None]
-            attn = attn.reshape(nb, nh, t, t)
+            if filling:
+                nw = mask.shape[0] if mask is not None else num_windows
+                assert nw is not None, (
+                    "static-RPE fill on an unshifted block needs "
+                    "num_windows from the caller")
+                fold = rpe_t[:nw]
+                if mask is not None:
+                    fold = fold + mask[:, None]
+                self.put_variable("rpe_cache", "bias", fold)
+
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = (attn.reshape(nb // nw, nw, nh, t, t)
+                        + mask[None, :, None])
+                attn = attn.reshape(nb, nh, t, t)
         if pad_mask is not None:
             attn = jnp.where(pad_mask[:, None, None, :], attn, -100.0)
 
@@ -254,7 +294,8 @@ class SwinVoteBlock(nn.Module):
         out = WindowAttention(
             self.dim, self.num_heads, self.attn_drop, self.drop,
             dtype=self.dtype, name="attn"
-        )(xw, pw, vw, mask, mw, deterministic)
+        )(xw, pw, vw, mask, mw, deterministic,
+          num_windows=(hp // ws) * (wp // ws))
 
         out = window_reverse(out, ws, b, hp, wp)
         if shift:

@@ -158,3 +158,27 @@ class TestVoxelNetV3:
             v, s, l = step(v, s, jax.random.PRNGKey(i))
             losses.append(float(l))
         assert losses[-1] < losses[0]
+
+
+class TestPrepareInference:
+    """E2EDetector.prepare_inference precomputes the static RPE tables;
+    a cache-warmed predict must reproduce the live predict exactly
+    (swin_vote.WindowAttention static-RPE cache)."""
+
+    def test_warmed_predict_matches_live(self, det_and_vars):
+        det, variables, ex = det_and_vars
+        live = det.predict(variables, ex)
+        warmed_vars = det.prepare_inference(variables, ex)
+        assert "rpe_cache" in warmed_vars
+        got = det.predict(warmed_vars, ex)
+        for k in live:
+            np.testing.assert_allclose(
+                np.asarray(got[k]).astype(np.float32),
+                np.asarray(live[k]).astype(np.float32),
+                atol=1e-5, err_msg=k)
+
+    def test_warmed_predict_jits(self, det_and_vars):
+        det, variables, ex = det_and_vars
+        warmed_vars = det.prepare_inference(variables, ex)
+        out = jax.jit(det.predict)(warmed_vars, ex)
+        assert np.isfinite(np.asarray(out["scores"])).all()

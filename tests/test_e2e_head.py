@@ -187,3 +187,50 @@ class TestBF16Head:
         g = jax.grad(loss)(v32["params"])
         assert all(np.isfinite(np.asarray(t)).all()
                    for t in jax.tree_util.tree_leaves(g))
+
+
+class TestStaticRPECache:
+    """Inference-time static-RPE cache: one warmup forward with
+    mutable=["rpe_cache"] stores each window-attention's frame-invariant
+    (nW, nh, T, T) bias table (region mask folded in); cached frames must
+    reproduce the live path (swin_vote.WindowAttention)."""
+
+    def test_cached_forward_matches_live(self, rng):
+        head, variables, x = init_head(rng)
+        live = head.apply(variables, x, train=False)
+
+        fill_out, upd = head.apply(variables, x, train=False,
+                                   mutable=["rpe_cache"])
+        # the fill pass itself is behavior-preserving
+        for k in live:
+            np.testing.assert_allclose(np.asarray(fill_out[k]),
+                                       np.asarray(live[k]), atol=1e-6)
+        assert "rpe_cache" in upd
+        tables = jax.tree_util.tree_leaves(upd["rpe_cache"])
+        # sl_depth=2 blocks, each (nW=8, nh=2, T=16, T=16)
+        assert len(tables) == 2
+        for tbl in tables:
+            assert tbl.shape == (8, 2, 16, 16)
+
+        cached_vars = dict(variables)
+        cached_vars["rpe_cache"] = upd["rpe_cache"]
+        got = head.apply(cached_vars, x, train=False)
+        for k in live:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(live[k]), atol=1e-5,
+                err_msg=k)
+
+    def test_train_path_ignores_cache(self, rng):
+        head, variables, x = init_head(rng)
+        live, _ = head.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+        _, upd = head.apply(variables, x, train=False,
+                            mutable=["rpe_cache"])
+        cached_vars = dict(variables)
+        cached_vars["rpe_cache"] = upd["rpe_cache"]
+        got, _ = head.apply(cached_vars, x, train=True,
+                            mutable=["batch_stats"])
+        for k in live:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(live[k]), atol=1e-6)
+

@@ -25,6 +25,7 @@ VARIANTS = [
     ("fuse", {"PARTNER_TPU_FUSED_HEAD": "1"}),
     ("pallas_stem", {"PARTNER_TPU_PALLAS_STEM": "1"}),
     ("pallas_attn", {"PARTNER_TPU_PALLAS_ATTN": "1"}),
+    ("static_rpe", {"PARTNER_TPU_STATIC_RPE": "1"}),
 ]
 
 
