@@ -79,7 +79,8 @@ def _pallas_attn_on():
 
 def _static_rpe_on():
     # inference-time static-RPE bias tables (swin_vote.WindowAttention);
-    # default OFF until the on-chip A/B lands (capture_perf `static_rpe`)
+    # measured a -2.3% frame-scale LOSS on chip (PERF.md, probe
+    # static_rpe_ab.py) — default OFF, kept as an attribution knob
     return os.environ.get("PARTNER_TPU_STATIC_RPE", "0") == "1"
 
 

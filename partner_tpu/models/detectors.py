@@ -238,11 +238,14 @@ class E2EDetector(Detector):
         swin_vote.WindowAttention). Returns ``variables`` with the cache
         merged; threading it through subsequent ``predict`` calls skips
         the per-frame ~150 MB pair-tensor rebuild. Optional: callers that
-        skip the warmup get the unchanged live path.
+        skip the warmup get the unchanged live path. The fill pass is
+        jitted: an eager flagship forward on a remote backend dispatches
+        op-by-op (one RPC each) and takes minutes.
         """
-        _, upd = self.module.apply(
-            variables, example, train=False, mutable=["rpe_cache"]
-        )
+        fill = jax.jit(lambda v: self.module.apply(
+            v, example, train=False, mutable=["rpe_cache"]))
+        _, upd = fill(variables)
+        upd = jax.tree_util.tree_map(jax.block_until_ready, upd)
         if "rpe_cache" in upd:
             variables = dict(variables)
             variables["rpe_cache"] = upd["rpe_cache"]
