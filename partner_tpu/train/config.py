@@ -50,12 +50,19 @@ def _install_det3d_shim():
     ``from det3d.utils.config_tool import get_downsample_factor``
     (/root/reference/det3d/utils/config_tool.py:39-53); synthesize that
     module when no real det3d is installed, so SURVEY 5.6's "reference
-    configs port with minimal edits" holds for zero edits."""
+    configs port with minimal edits" holds for zero edits.
+
+    Returns the list of sys.modules names installed, so fromfile can pop
+    them after the config executes: a PERSISTENT shim would shadow the
+    real reference det3d package that tests/reference_loader.py imports
+    from /root/reference for golden-parity execution (a suite-level
+    interaction that broke 27 parity tests when any config loaded
+    first)."""
     if "det3d.utils.config_tool" in sys.modules:
-        return
+        return []
     try:
         import det3d.utils.config_tool  # noqa: F401  (real install wins)
-        return
+        return []
     except ImportError:
         pass
     import types
@@ -82,9 +89,13 @@ def _install_det3d_shim():
     tool.get_downsample_factor = get_downsample_factor
     utils.config_tool = tool
     pkg.utils = utils
-    sys.modules.setdefault("det3d", pkg)
-    sys.modules.setdefault("det3d.utils", utils)
-    sys.modules.setdefault("det3d.utils.config_tool", tool)
+    installed = []
+    for name, mod in (("det3d", pkg), ("det3d.utils", utils),
+                      ("det3d.utils.config_tool", tool)):
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            installed.append(name)
+    return installed
 
 
 class Config:
@@ -100,7 +111,7 @@ class Config:
             raise FileNotFoundError(filename)
         if not filename.endswith(".py"):
             raise ValueError("config must be a .py file")
-        _install_det3d_shim()
+        shim_names = _install_det3d_shim()
         module_name = "_partner_cfg_" + os.path.splitext(
             os.path.basename(filename)
         )[0]
@@ -116,6 +127,8 @@ class Config:
             }
         finally:
             sys.modules.pop(module_name, None)
+            for name in shim_names:
+                sys.modules.pop(name, None)
         with open(filename) as f:
             text = f.read()
         return Config(cfg_dict, filename=filename, text=text)
