@@ -15,6 +15,7 @@ offset-grid shift, log-dims, cos/sin), so ``get_delta`` is a per-dimension
 difference with the gt yaw re-encoded on the fly (box_coder_utils.py:175-221).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -175,11 +176,23 @@ class CenterCoderPolar(CenterCoder):
             [jnp.stack([rho, phi, z, jnp.log(radius), jnp.log(dz), ratio],
                        axis=-1), ang, extra], axis=-1)
 
+    def get_delta(self, gt_boxes, preds, **kwargs):
+        """encode(gt) - preds, sincos mode only
+        (box_coder_utils.py:658-660 raises NotImplementedError likewise)."""
+        if not self.encode_angle_by_sincos:
+            raise NotImplementedError(
+                "polar coders regress yaw as (cos, sin) only")
+        return self.encode(gt_boxes) - preds
+
     def decode(self, preds):
+        """True inverse of ``encode``. Deviation: the reference's polar
+        decode_torch (box_coder_utils.py:668-691, marked "no use in this
+        proj") is dead code that reads the CARTESIAN layout and never
+        inverts rho/phi/radius/ratio; this one round-trips encode."""
         rho, phi, z = preds[..., 0], preds[..., 1], preds[..., 2]
         radius = jnp.exp(jnp.clip(preds[..., 3], -8.0, 8.0))
         dz = jnp.exp(jnp.clip(preds[..., 4], -8.0, 8.0))
-        ratio = preds[..., 5]
+        ratio = self._decode_ratio(preds[..., 5])
         dx = 2.0 * radius / jnp.sqrt(1.0 + ratio ** 2)
         dy = ratio * dx
         if self.encode_angle_by_sincos:
@@ -195,27 +208,94 @@ class CenterCoderPolar(CenterCoder):
         return jnp.concatenate(
             [jnp.stack([x, y, z, dx, dy, dz, yaw], axis=-1), extra], axis=-1)
 
+    @staticmethod
+    def _decode_ratio(ratio_col):
+        """Predicted ratio column -> raw aspect dy/dx (identity here;
+        PolarTP/PolarSIG re-express the column)."""
+        return ratio_col
+
     decode_torch = decode
+
+
+class CenterCoderPolarTP(CenterCoderPolar):
+    """Polar encoding with a template aspect ratio
+    (box_coder_utils.py:726-954): identical to CenterCoderPolar except the
+    ratio column regresses the RESIDUAL dy/dx - template_ratio, so the
+    network predicts around the class-typical aspect instead of its
+    absolute value (encode :787, get_delta :890)."""
+
+    def __init__(self, template_ratio=None, **kwargs):
+        super().__init__(**kwargs)
+        assert template_ratio is not None, "ratio = dy / dx"
+        self.template_ratio = float(template_ratio)
+
+    def encode(self, gt_boxes):
+        enc = jnp.asarray(super().encode(gt_boxes))
+        return enc.at[..., 5].add(-self.template_ratio)
+
+    def _decode_ratio(self, ratio_col):
+        return ratio_col + self.template_ratio
+
+
+class CenterCoderPolarSIG(CenterCoderPolar):
+    """Polar encoding with a sigmoid-squashed aspect ratio
+    (box_coder_utils.py:957-1186): the ratio column stores
+    logit(1 / (dy/dx)) — dy >= dx in the det3d convention, so 1/ratio lives
+    in (0, 1] and the logit makes it an unconstrained logit target
+    (encode :1017). ``get_delta`` regresses the RAW ratio against the
+    decoded prediction 1/sigmoid(ratiop) (get_delta :1097-1098), so the
+    target is in ratio units while the prediction is in logit units."""
+
+    def encode(self, gt_boxes):
+        enc = jnp.asarray(super().encode(gt_boxes))
+        ratio = enc[..., 5]
+        # guarded deviation: the reference's torch.logit(1/ratio) (:1017,
+        # no eps) is +inf for square boxes (dy == dx); clamp keeps the
+        # target finite there while matching everywhere dy > dx.
+        inv = jnp.clip(1.0 / ratio, max=1.0 - 1e-6)
+        return enc.at[..., 5].set(jnp.log(inv) - jnp.log1p(-inv))
+
+    def get_delta(self, gt_boxes, preds, **kwargs):
+        if not self.encode_angle_by_sincos:
+            raise NotImplementedError(
+                "polar coders regress yaw as (cos, sin) only")
+        # polar targets with the ratio column in raw dy/dx units
+        enc = jnp.asarray(CenterCoderPolar.encode(self, gt_boxes))
+        preds = jnp.asarray(preds)
+        delta = enc - preds
+        ratiog = enc[..., 5]
+        ratiop = 1.0 / jax.nn.sigmoid(preds[..., 5])
+        return delta.at[..., 5].set(ratiog - ratiop)
+
+    def _decode_ratio(self, ratio_col):
+        return 1.0 / jax.nn.sigmoid(ratio_col)
 
 
 class CenterCoderTP(CenterCoder):
     """Template-box dim encoding
     (/root/reference/det3d/models/e2e_utils/box_coder_utils.py:1189-1399):
-    dims encode as offsets from a fixed per-class template box [tx, ty, tz]
-    instead of logs; everything else matches CenterCoder. The remaining
-    reference variants (CenterCoderPolarSIG :957, CenterCoderMTTP :1402)
-    are unreachable dead code in the release and combine these same two
-    axes (polar centers x template dims) with sigmoid/multi-template dims.
+    dims encode as LINEAR offsets dg - template from a fixed template box
+    [tx, ty, tz] instead of logs; everything else matches CenterCoder. The
+    reference passes the template per call (encode :1232,
+    get_delta :1297) — a config-level ``templates_box`` default is also
+    accepted here so the coder drops into the SetCriterion contract.
     """
 
-    def __init__(self, templates_box=(4.0, 2.0, 1.6), **kwargs):
+    def __init__(self, templates_box=None, **kwargs):
         super().__init__(**kwargs)
-        self.templates_box = jnp.asarray(templates_box, jnp.float32)
+        self.templates_box = (
+            None if templates_box is None
+            else jnp.asarray(templates_box, jnp.float32))
 
-    def encode(self, gt_boxes):
+    def _template(self, template_box):
+        t = self.templates_box if template_box is None else template_box
+        assert t is not None, "CenterCoderTP needs a template box [tx,ty,tz]"
+        return jnp.asarray(t, jnp.float32)
+
+    def encode(self, gt_boxes, templates_box=None):
         g = self._prep(gt_boxes)
         x, y, z = g[..., 0], g[..., 1], g[..., 2]
-        dims = g[..., 3:6] - self.templates_box
+        dims = g[..., 3:6] - self._template(templates_box)
         yaw = self._rectified_yaw(x, y, g[..., 6])
         extra = g[..., 7:]
         if self.encode_angle_by_sincos:
@@ -225,9 +305,21 @@ class CenterCoderTP(CenterCoder):
         return jnp.concatenate(
             [jnp.stack([x, y, z], axis=-1), dims, ang, extra], axis=-1)
 
-    def decode(self, preds):
+    def get_delta(self, gt_boxes, preds, template_box=None, **kwargs):
+        """encode(gt, template) - preds, with plain-angle yaw regressed as
+        yaw/period (box_coder_utils.py:1297-1342)."""
+        enc = self.encode(gt_boxes, self._template(template_box))
+        if not self.encode_angle_by_sincos:
+            enc = jnp.concatenate(
+                [enc[..., :6], enc[..., 6:7] / self.period, enc[..., 7:]],
+                axis=-1)
+        return enc - preds
+
+    def decode(self, preds, template_box=None):
+        """Inverse without a dim clamp, matching the reference decode
+        (:1344-1366) exactly; the head decode path clips downstream."""
         xyz = preds[..., :3]
-        dims = jnp.clip(preds[..., 3:6] + self.templates_box, min=1e-5)
+        dims = preds[..., 3:6] + self._template(template_box)
         if self.encode_angle_by_sincos:
             yaw = jnp.arctan2(preds[..., 7], preds[..., 6])
             extra = preds[..., 8:]
@@ -241,47 +333,73 @@ class CenterCoderTP(CenterCoder):
     decode_torch = decode
 
 
-class CenterCoderPolarTP(CenterCoderPolar):
-    """Polar centers + template dims (box_coder_utils.py:726-954): rho/phi/z
-    centers like CenterCoderPolar, but (dx, dy, dz) encode as offsets from
-    the template box rather than radius/ratio logs."""
+class CenterCoderMTTP(CenterCoder):
+    """Multi-task template (anchor) dim encoding
+    (box_coder_utils.py:1402-1599): each task carries its own anchor size
+    tmp_box[task_id] = [dx, dy, dz] and dims encode as log(dg / anchor) —
+    the classic anchor-relative log encoding — decoded by exp(dt) * anchor
+    (:1556-1558). There is no rectify branch in this variant (:1445-1468
+    has none)."""
 
-    def __init__(self, templates_box=(4.0, 2.0, 1.6), **kwargs):
-        super().__init__(**kwargs)
-        self.templates_box = jnp.asarray(templates_box, jnp.float32)
+    def __init__(self, tmp_box=None, **kwargs):
+        kwargs.pop("rectify", None)
+        super().__init__(rectify=False, **kwargs)
+        assert tmp_box is not None, "per-task anchor sizes required"
+        self.tmp_box = jnp.asarray(tmp_box, jnp.float32)  # (num_tasks, 3)
 
-    def encode(self, gt_boxes):
+    def encode(self, gt_boxes, task_id=0):
         g = self._prep(gt_boxes)
-        x, y, z = g[..., 0], g[..., 1], g[..., 2]
-        rho = jnp.sqrt(x ** 2 + y ** 2)
-        phi = jnp.arctan2(y, x)
-        dims = g[..., 3:6] - self.templates_box
+        anchor = self.tmp_box[task_id]
+        dims = jnp.log(g[..., 3:6] / anchor)
         yaw = g[..., 6]
-        if self.rectify:
-            yaw = wrap_angle_pi(yaw - phi)
         extra = g[..., 7:]
         if self.encode_angle_by_sincos:
             ang = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)
         else:
             ang = yaw[..., None]
         return jnp.concatenate(
-            [jnp.stack([rho, phi, z], axis=-1), dims, ang, extra], axis=-1)
+            [g[..., :3], dims, ang, extra], axis=-1)
 
-    def decode(self, preds):
-        rho, phi, z = preds[..., 0], preds[..., 1], preds[..., 2]
-        dims = jnp.clip(preds[..., 3:6] + self.templates_box, min=1e-5)
+    def get_delta(self, gt_boxes, preds, task_id=0, **kwargs):
+        enc = self.encode(gt_boxes, task_id)
+        if not self.encode_angle_by_sincos:
+            enc = jnp.concatenate(
+                [enc[..., :6], enc[..., 6:7] / self.period, enc[..., 7:]],
+                axis=-1)
+        return enc - preds
+
+    def decode(self, preds, task_id=0):
+        xyz = preds[..., :3]
+        anchor = self.tmp_box[task_id]
+        dims = jnp.exp(jnp.clip(preds[..., 3:6], -8.0, 8.0)) * anchor
         if self.encode_angle_by_sincos:
             yaw = jnp.arctan2(preds[..., 7], preds[..., 6])
             extra = preds[..., 8:]
         else:
             yaw = preds[..., 6] * self.period
             extra = preds[..., 7:]
-        if self.rectify:
-            yaw = wrap_angle_pi(yaw + phi)
-        x = rho * jnp.cos(phi)
-        y = rho * jnp.sin(phi)
-        return jnp.concatenate(
-            [jnp.stack([x, y, z], axis=-1), dims, yaw[..., None], extra],
-            axis=-1)
+        return jnp.concatenate([xyz, dims, yaw[..., None], extra], axis=-1)
 
     decode_torch = decode
+
+
+#: Registry of coder types selectable from CODER_CONFIG["type"]; the
+#: reference hardwires CenterCoder in the head (e2e_swv_head.py:121) and
+#: leaves the variants unreachable — here every variant is config-reachable.
+CODERS = {
+    "CenterCoder": CenterCoder,
+    "CenterCoderV2": CenterCoderV2,
+    "CenterCoderPolar": CenterCoderPolar,
+    "CenterCoderPolarTP": CenterCoderPolarTP,
+    "CenterCoderPolarSIG": CenterCoderPolarSIG,
+    "CenterCoderTP": CenterCoderTP,
+    "CenterCoderMTTP": CenterCoderMTTP,
+}
+
+
+def build_coder(coder_cfg, period=2 * np.pi):
+    """Build a box coder from a CODER_CONFIG dict (type + ctor kwargs)."""
+    cfg = dict(coder_cfg)
+    cls = CODERS[cfg.pop("type", "CenterCoder")]
+    cfg.setdefault("period", period)
+    return cls(**cfg)

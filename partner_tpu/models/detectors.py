@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..core.center_coder import CenterCoder
+from ..core.center_coder import CenterCoder, build_coder
 from ..core.geometry import bev_cell_centers
 from ..losses.set_crit import SetCriterion
 from ..utils.dtypes import resolve_compute_dtype
@@ -430,12 +430,14 @@ def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
         bev_pspec=bev_pspec,
     )
 
-    coder_cfg = bbox_head.get("CODER_CONFIG", {})
-    coder = CenterCoder(
-        code_size=coder_cfg.get("code_size", 7),
-        encode_angle_by_sincos=coder_cfg.get("encode_angle_by_sincos", True),
-        rectify=coder_cfg.get("rectify", False),
-    )
+    # CODER_CONFIG["type"] selects any coder variant (the reference
+    # hardwires CenterCoder, e2e_swv_head.py:121); extra keys pass through
+    # to the variant ctor (template_ratio, templates_box, tmp_box, ...).
+    coder_cfg = dict(bbox_head.get("CODER_CONFIG", {}))
+    coder_cfg.setdefault("code_size", 7)
+    coder_cfg.setdefault("encode_angle_by_sincos", True)
+    coder_cfg.setdefault("rectify", False)
+    coder = build_coder(coder_cfg)
     sc = bbox_head.get("SET_CRIT_CONFIG", {})
     mc = bbox_head.get("MATCHER_CONFIG", {})
     criterion = SetCriterion(

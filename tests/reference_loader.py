@@ -140,6 +140,32 @@ def load_reference_center_coder():
     return CenterCoder
 
 
+def load_reference_coder_variants():
+    """Returns the reference coder-variant classes as a name->class dict
+    (box_coder_utils.py: Polar :498, PolarTP :726, PolarSIG :957, TP :1189,
+    MTTP :1402). MTTP's ctor calls .cuda() on the template tensor
+    (:1408) — patched to a no-op so the CPU oracle executes."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    import torch
+    from det3d.models.e2e_utils import box_coder_utils as bcu
+
+    if not torch.cuda.is_available() and not getattr(
+            torch.Tensor.cuda, "_partner_noop", False):
+        def _cuda_noop(self, *a, **k):
+            return self
+        _cuda_noop._partner_noop = True
+        torch.Tensor.cuda = _cuda_noop
+    return {
+        "CenterCoderPolar": bcu.CenterCoderPolar,
+        "CenterCoderPolarTP": bcu.CenterCoderPolarTP,
+        "CenterCoderPolarSIG": bcu.CenterCoderPolarSIG,
+        "CenterCoderTP": bcu.CenterCoderTP,
+        "CenterCoderMTTP": bcu.CenterCoderMTTP,
+    }
+
+
 def load_reference_gt_processor():
     """Returns (GroundTruthProcessor, _Addict) — the reference's torch
     votemap/gt splitter (det3d/models/bbox_heads/e2e_modules.py:11-148)."""

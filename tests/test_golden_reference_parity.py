@@ -916,3 +916,161 @@ class TestCenterCoderParity:
                 gt, preds))
         assert np.isfinite(got).all()
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestCoderVariantsParity:
+    """Golden parity for the coder-variant family vs the EXECUTED reference
+    classes (box_coder_utils.py: Polar :498, PolarTP :726, PolarSIG :957,
+    TP :1189, MTTP :1402) — dead code in the reference release (the head
+    hardwires CenterCoder, e2e_swv_head.py:121) but config-reachable here
+    via CODER_CONFIG["type"]."""
+
+    TEMPLATE_RATIO = 2.1
+    TEMPLATE_BOX = (4.2, 1.9, 1.7)
+    TMP_BOX = ((4.7, 2.1, 1.7), (0.8, 0.8, 1.8), (2.1, 0.9, 1.2))
+
+    def _boxes_preds(self, sincos, n=24, code_size=7, seed=11):
+        rng = np.random.RandomState(seed)
+        gt = np.zeros((n, code_size), np.float32)
+        gt[:, 0] = rng.uniform(-60, 60, n)
+        gt[:, 1] = rng.uniform(-60, 60, n)
+        gt[:, 2] = rng.uniform(-2, 2, n)
+        # det3d convention dy >= dx (ratio > 1) so PolarSIG's logit(1/r)
+        # stays finite
+        gt[:, 3] = rng.uniform(0.5, 3.0, n)
+        gt[:, 4] = gt[:, 3] * rng.uniform(1.05, 4.0, n)
+        gt[:, 5] = rng.uniform(0.8, 4.0, n)
+        gt[:, 6] = rng.uniform(-2 * np.pi, 2 * np.pi, n)
+        preds = rng.randn(n, code_size + (1 if sincos else 0)).astype(
+            np.float32)
+        return gt, preds
+
+    def _ours(self, name, **kw):
+        from partner_tpu.core import center_coder as cc
+
+        return cc.CODERS[name](**kw)
+
+    def _kwargs(self, name):
+        if name == "CenterCoderPolarTP":
+            return dict(template_ratio=self.TEMPLATE_RATIO)
+        if name == "CenterCoderMTTP":
+            return dict(tmp_box=self.TMP_BOX)
+        return {}
+
+    @pytest.mark.parametrize("rectify", [False, True])
+    @pytest.mark.parametrize("name", [
+        "CenterCoderPolar", "CenterCoderPolarTP", "CenterCoderPolarSIG",
+        "CenterCoderTP", "CenterCoderMTTP"])
+    def test_get_delta_matches_reference(self, name, rectify):
+        import torch
+
+        from reference_loader import load_reference_coder_variants
+
+        variants = load_reference_coder_variants()
+        if name == "CenterCoderMTTP" and rectify:
+            pytest.skip("MTTP has no rectify branch (:1501-1537)")
+        kw = self._kwargs(name)
+        ref = variants[name](code_size=7, encode_angle_by_sincos=True,
+                             rectify=rectify, **kw)
+        ours = self._ours(name, code_size=7, encode_angle_by_sincos=True,
+                          rectify=rectify, **kw)
+        gt, preds = self._boxes_preds(True)
+        extra = {}
+        if name == "CenterCoderTP":
+            extra = dict(template_box=torch.tensor(self.TEMPLATE_BOX))
+        elif name == "CenterCoderMTTP":
+            extra = dict(task_id=1)
+        want = ref.get_delta(torch.from_numpy(gt), torch.from_numpy(preds),
+                             **extra).numpy()
+        ours_extra = dict(extra)
+        if name == "CenterCoderTP":
+            ours_extra = dict(template_box=np.asarray(self.TEMPLATE_BOX))
+        got = np.asarray(ours.get_delta(gt, preds, **ours_extra))
+        np.testing.assert_allclose(got, want, atol=3e-5,
+                                   err_msg=f"{name} get_delta parity")
+
+    @pytest.mark.parametrize("name", [
+        "CenterCoderPolar", "CenterCoderPolarTP", "CenterCoderPolarSIG",
+        "CenterCoderTP", "CenterCoderMTTP"])
+    def test_encode_matches_reference(self, name):
+        import torch
+
+        from reference_loader import load_reference_coder_variants
+
+        variants = load_reference_coder_variants()
+        kw = self._kwargs(name)
+        ref = variants[name](code_size=7, encode_angle_by_sincos=True,
+                             rectify=False, **kw)
+        ours = self._ours(name, code_size=7, encode_angle_by_sincos=True,
+                          rectify=False, **kw)
+        gt, _ = self._boxes_preds(True)
+        if name == "CenterCoderTP":
+            want = ref.encode([torch.from_numpy(gt)],
+                              torch.tensor(self.TEMPLATE_BOX))[0].numpy()
+            got = np.asarray(ours.encode(gt, np.asarray(self.TEMPLATE_BOX)))
+        elif name == "CenterCoderMTTP":
+            want = ref.encode([torch.from_numpy(gt)], task_id=2)[0].numpy()
+            got = np.asarray(ours.encode(gt, task_id=2))
+        else:
+            want = ref.encode([torch.from_numpy(gt)])[0].numpy()
+            got = np.asarray(ours.encode(gt))
+        np.testing.assert_allclose(got, want, atol=3e-5,
+                                   err_msg=f"{name} encode parity")
+
+    def test_tp_decode_matches_reference(self):
+        import torch
+
+        from reference_loader import load_reference_coder_variants
+
+        variants = load_reference_coder_variants()
+        rng = np.random.RandomState(7)
+        preds = rng.randn(12, 8).astype(np.float32)
+        ref = variants["CenterCoderTP"](code_size=7,
+                                        encode_angle_by_sincos=True)
+        ours = self._ours("CenterCoderTP", code_size=7,
+                          encode_angle_by_sincos=True)
+        want = ref.decode_torch(torch.from_numpy(preds),
+                                torch.tensor(self.TEMPLATE_BOX)).numpy()
+        got = np.asarray(ours.decode(preds,
+                                     np.asarray(self.TEMPLATE_BOX)))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_mttp_decode_matches_reference(self):
+        import torch
+
+        from reference_loader import load_reference_coder_variants
+
+        variants = load_reference_coder_variants()
+        rng = np.random.RandomState(9)
+        preds = rng.randn(12, 8).astype(np.float32) * 0.5
+        ref = variants["CenterCoderMTTP"](code_size=7,
+                                          encode_angle_by_sincos=True,
+                                          tmp_box=self.TMP_BOX)
+        ours = self._ours("CenterCoderMTTP", code_size=7,
+                          encode_angle_by_sincos=True, tmp_box=self.TMP_BOX)
+        want = ref.decode_torch(torch.from_numpy(preds), task_id=0).numpy()
+        got = np.asarray(ours.decode(preds, task_id=0))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    @pytest.mark.parametrize("rectify", [False, True])
+    @pytest.mark.parametrize("name", [
+        "CenterCoderPolar", "CenterCoderPolarTP", "CenterCoderPolarSIG"])
+    def test_polar_decode_round_trips_encode(self, name, rectify):
+        """The reference's polar decode_torch (:668, marked "no use") is
+        dead code reading the cartesian layout; ours is the true inverse —
+        assert the round trip instead."""
+        kw = self._kwargs(name)
+        ours = self._ours(name, code_size=7, encode_angle_by_sincos=True,
+                          rectify=rectify, **kw)
+        gt, _ = self._boxes_preds(True)
+        back = np.asarray(ours.decode(ours.encode(gt)))
+        want = gt.copy()
+        want[:, 6] = np.arctan2(np.sin(gt[:, 6]), np.cos(gt[:, 6]))
+        np.testing.assert_allclose(back, want, rtol=2e-4, atol=2e-4)
+
+    def test_nonsincos_polar_get_delta_raises(self):
+        ours = self._ours("CenterCoderPolar", code_size=7,
+                          encode_angle_by_sincos=False)
+        gt, preds = self._boxes_preds(False)
+        with pytest.raises(NotImplementedError):
+            ours.get_delta(gt, preds)

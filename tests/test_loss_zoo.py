@@ -217,18 +217,23 @@ def test_center_coder_polar_roundtrip(rng):
 
 
 def test_template_coders_roundtrip(rng):
-    """TP/PolarTP coders: decode(encode(b)) == b (box_coder_utils.py:
-    726-954, 1189-1399)."""
-    from partner_tpu.core.center_coder import (CenterCoderPolarTP,
+    """TP/PolarTP/MTTP coders: decode(encode(b)) == b (box_coder_utils.py:
+    726-954, 1189-1399, 1402-1599)."""
+    from partner_tpu.core.center_coder import (CenterCoderMTTP,
+                                               CenterCoderPolarTP,
                                                CenterCoderTP)
 
     b = _boxes(rng, 10)
-    for cls in (CenterCoderTP, CenterCoderPolarTP):
-        for rectify in ((False,) if cls is CenterCoderTP else (False, True)):
-            coder = cls(rectify=rectify)
-            dec = coder.decode(coder.encode(b))
-            np.testing.assert_allclose(np.asarray(dec[:, :6]),
-                                       np.asarray(b[:, :6]), rtol=1e-4,
-                                       atol=1e-4)
-            np.testing.assert_allclose(
-                np.asarray(jnp.cos(dec[:, 6] - b[:, 6])), 1.0, atol=1e-4)
+    coders = [
+        CenterCoderTP(templates_box=(4.0, 2.0, 1.6)),
+        CenterCoderPolarTP(template_ratio=0.5, rectify=False),
+        CenterCoderPolarTP(template_ratio=0.5, rectify=True),
+        CenterCoderMTTP(tmp_box=((4.0, 2.0, 1.6), (0.8, 0.8, 1.8))),
+    ]
+    for coder in coders:
+        dec = coder.decode(coder.encode(b))
+        np.testing.assert_allclose(np.asarray(dec[:, :6]),
+                                   np.asarray(b[:, :6]), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(jnp.cos(dec[:, 6] - b[:, 6])), 1.0, atol=1e-4)
