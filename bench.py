@@ -463,7 +463,10 @@ def _bench_train_step(det, cfg, grid, pc_range, batch=1):
                           "points_mask": example["points_mask"][:, :2048]})
     tx = build_one_cycle_optimizer(lr_max=3e-3, total_steps=1000)
     state = create_train_state(variables, tx)
-    jstep = jax.jit(make_train_step(det, tx))
+    # donate like the production loop (tools/train.py:210); measured
+    # neutral on chip (88.88 vs 88.75 ms, tools/probes/train_donate_ab.py)
+    # but halves peak param+adam memory
+    jstep = jax.jit(make_train_step(det, tx), donate_argnums=(0,))
     state, metrics = jstep(state, example, jax.random.PRNGKey(1))
     float(metrics["loss"])  # fence
     _stage("measure_train_step")
