@@ -24,14 +24,18 @@ def _annealing_cos(start, end, pct):
 
 def one_cycle_lr(lr_max, total_steps, div_factor=10.0, pct_start=0.4,
                  final_div=1e4):
+    """Reference OneCycle semantics (learning_schedules_fastai.py:77-96):
+    integer phase split int(pct_start * total), cosine low -> lr_max over
+    [0, split) then lr_max -> LOW/final_div (the reference's low_lr/1e4,
+    :88 — i.e. lr_max / (div_factor * final_div)) over [split, total]."""
     low = lr_max / div_factor
-    split = pct_start * total_steps
+    split = int(pct_start * total_steps)
 
     def sched(step):
         step = jnp.asarray(step, jnp.float32)
         up = _annealing_cos(low, lr_max, step / jnp.maximum(split, 1))
         down = _annealing_cos(
-            lr_max, lr_max / final_div,
+            lr_max, low / final_div,
             (step - split) / jnp.maximum(total_steps - split, 1),
         )
         return jnp.where(step < split, up, down)
@@ -41,7 +45,7 @@ def one_cycle_lr(lr_max, total_steps, div_factor=10.0, pct_start=0.4,
 
 def one_cycle_momentum(moms, total_steps, pct_start=0.4):
     m0, m1 = moms
-    split = pct_start * total_steps
+    split = int(pct_start * total_steps)
 
     def sched(step):
         step = jnp.asarray(step, jnp.float32)

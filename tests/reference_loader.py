@@ -166,6 +166,17 @@ def load_reference_coder_variants():
     }
 
 
+def load_reference_one_cycle():
+    """Returns (OneCycle, FakeOptim) from the reference's fastai scheduler
+    module (det3d/solver/learning_schedules_fastai.py:77-147) — pure
+    numpy, executable as a golden LR/momentum oracle."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    from det3d.solver.learning_schedules_fastai import FakeOptim, OneCycle
+    return OneCycle, FakeOptim
+
+
 def load_reference_gt_processor():
     """Returns (GroundTruthProcessor, _Addict) — the reference's torch
     votemap/gt splitter (det3d/models/bbox_heads/e2e_modules.py:11-148)."""

@@ -124,3 +124,40 @@ class TestBuildOptimizer:
             updates, state = tx.update(grads, state, params)
             flat = jax.tree_util.tree_leaves(updates)
             assert all(np.isfinite(np.asarray(u)).all() for u in flat)
+
+
+class TestOneCycleGoldenParity:
+    """Golden parity vs the EXECUTED reference OneCycle scheduler
+    (det3d/solver/learning_schedules_fastai.py:77-96 via its FakeOptim)
+    for both the LR and the momentum trajectory, including non-integral
+    pct_start * total splits and the low_lr/1e4 final target (:88)."""
+
+    @pytest.mark.parametrize("total,lr_max,moms,div,pct", [
+        (100, 3e-3, (0.95, 0.85), 10.0, 0.4),
+        (937, 1e-3, (0.9, 0.8), 25.0, 0.3),   # non-integral split 281.1
+        (50, 3e-4, (0.95, 0.85), 10.0, 0.1),
+    ])
+    def test_lr_and_momentum_match_reference(self, total, lr_max, moms,
+                                             div, pct):
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(
+            __file__).resolve().parent))
+        from reference_loader import load_reference_one_cycle
+
+        from partner_tpu.train.optim import (one_cycle_lr,
+                                             one_cycle_momentum)
+
+        OneCycle, FakeOptim = load_reference_one_cycle()
+        opt = FakeOptim()
+        ref = OneCycle(opt, total, lr_max, list(moms), div, pct)
+        ours_lr = one_cycle_lr(lr_max, total, div_factor=div, pct_start=pct)
+        ours_mom = one_cycle_momentum(moms, total, pct_start=pct)
+        for step in range(total):
+            ref.step(step)
+            np.testing.assert_allclose(
+                float(ours_lr(step)), opt.lr, rtol=3e-4, atol=1e-10,
+                err_msg=f"lr step {step}")
+            np.testing.assert_allclose(
+                float(ours_mom(step)), opt.mom, rtol=3e-4, atol=1e-10,
+                err_msg=f"mom step {step}")
