@@ -60,9 +60,17 @@ def one_cycle_momentum(moms, total_steps, pct_start=0.4):
 
 def build_one_cycle_optimizer(lr_max, total_steps, wd=0.01, moms=(0.95, 0.85),
                               div_factor=10.0, pct_start=0.4, grad_clip=35.0,
-                              amsgrad=False):
+                              amsgrad=False, wd_exclude_vectors=False):
     """optax GradientTransformation implementing the reference recipe
-    (torchie/apis/train.py:198-215 + optimizer_config grad_clip)."""
+    (torchie/apis/train.py:198-215 + optimizer_config grad_clip).
+
+    True weight decay matches the reference's fastai OptimWrapper
+    (fastai_optim.py:155-171): p *= (1 - wd*lr) before the Adam step —
+    algebraically p -= lr*(adam(g) + wd*p), our add_decayed_weights
+    chain. Both call sites pass bn_wd=True (train.py:212, builder.py:103),
+    so the reference decays EVERY parameter including biases and norm
+    affines; ``wd_exclude_vectors=True`` opts into the modern
+    exclude-ndim<=1 mask instead (a documented deviation)."""
     lr = one_cycle_lr(lr_max, total_steps, div_factor, pct_start)
     mom = one_cycle_momentum(moms, total_steps, pct_start)
 
@@ -71,12 +79,14 @@ def build_one_cycle_optimizer(lr_max, total_steps, wd=0.01, moms=(0.95, 0.85),
 
         return jax.tree_util.tree_map(lambda p: jnp.ndim(p) > 1, params)
 
+    mask = wd_mask if wd_exclude_vectors else None
+
     @optax.inject_hyperparams
     def inner(learning_rate, b1):
         return optax.chain(
             optax.clip_by_global_norm(grad_clip),
             optax.scale_by_adam(b1=b1, b2=0.99),
-            optax.add_decayed_weights(wd, mask=wd_mask),
+            optax.add_decayed_weights(wd, mask=mask),
             optax.scale_by_learning_rate(learning_rate),
         )
 

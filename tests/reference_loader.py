@@ -177,6 +177,24 @@ def load_reference_one_cycle():
     return OneCycle, FakeOptim
 
 
+def load_reference_optim_wrapper():
+    """Returns the reference's fastai OptimWrapper class
+    (det3d/solver/fastai_optim.py:118-268) — the true-weight-decay
+    optimizer wrapper the one-cycle trainer uses (torchie/apis/
+    train.py:198-215). fastai_optim does `from collections import
+    Iterable` (pre-3.10 idiom); shim it to collections.abc first."""
+    _install_stubs()
+    import collections
+    import collections.abc
+
+    if not hasattr(collections, "Iterable"):
+        collections.Iterable = collections.abc.Iterable
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    from det3d.solver.fastai_optim import OptimWrapper
+    return OptimWrapper
+
+
 def load_reference_gt_processor():
     """Returns (GroundTruthProcessor, _Addict) — the reference's torch
     votemap/gt splitter (det3d/models/bbox_heads/e2e_modules.py:11-148)."""
