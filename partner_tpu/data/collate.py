@@ -56,6 +56,14 @@ def collate(batch_list, max_points=200000, max_voxels=None):
             l = np.asarray(ex["pc_label"]).reshape(-1)[:max_points]
             # loading pads sweep points (no gt labels) with -1; clamp to 0
             lab[i, : len(l)] = np.maximum(l, 0).astype(np.int32)
+        if double_flip:
+            # flips negate coordinates but never permute point order
+            # (data/pipeline.py DoubleFlip applies sign flips row-wise), so
+            # each flip copy carries the same per-point labels; group-expand
+            # to (B*4, P) to stay row-aligned with the (B*4, P, C) points
+            # (reference collates labels once per flip copy,
+            # det3d/torchie/parallel/collate.py:88-253)
+            lab = np.repeat(lab, group, axis=0)
         ret["points_label"] = lab
 
     # --- hard voxels (optional) ---

@@ -93,25 +93,35 @@ def shard_batch(batch, mesh, batch_dim_size=None):
 def place_train_state(state, mesh):
     """Place a TrainState on the mesh: large kernels channel-sharded over
     'model' (TP), everything else replicated — the placement proven by the
-    multichip dryrun (__graft_entry__._dryrun_multichip_inproc)."""
+    multichip dryrun (__graft_entry__._dryrun_multichip_inproc).
+
+    Optimizer state follows the params: the TP rule is a pure function of
+    leaf shape, so Adam's mu/nu (param-shaped) land on the same channel
+    sharding as their params — per-device moment memory shrinks with TP
+    and the update inserts no grad<->moment resharding (VERDICT r4 #4).
+    Scalar/vector opt-state leaves (counts, injected hyperparams) stay
+    replicated."""
     import jax
 
     rep = replicated(mesh)
     psh = param_sharding(state.params, mesh)
+    rule = _tp_shape_rule(mesh)
     return state.replace(
         params=jax.tree_util.tree_map(jax.device_put, state.params, psh),
         batch_stats=jax.device_put(state.batch_stats, rep),
         opt_state=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+            lambda x: jax.device_put(x, rule(x)) if hasattr(x, "shape") else x,
             state.opt_state,
         ),
         step=jax.device_put(state.step, rep),
     )
 
 
-def param_sharding(params, mesh, min_size=2 ** 16):
-    """Tensor-parallel rule: shard the last (output-channel) dim of large
-    kernels over 'model' when divisible; replicate everything else."""
+def _tp_shape_rule(mesh, min_size=2 ** 16):
+    """shape-indexed TP rule: large >=2-D leaves with a model-divisible
+    last (output-channel) dim shard over 'model'; everything else
+    replicates. Applies identically to params and to param-shaped
+    optimizer moments."""
     n_model = mesh.shape["model"]
 
     def rule(p):
@@ -124,4 +134,10 @@ def param_sharding(params, mesh, min_size=2 ** 16):
             return NamedSharding(mesh, P(*([None] * (p.ndim - 1) + ["model"])))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(rule, params)
+    return rule
+
+
+def param_sharding(params, mesh, min_size=2 ** 16):
+    """Tensor-parallel rule: shard the last (output-channel) dim of large
+    kernels over 'model' when divisible; replicate everything else."""
+    return jax.tree_util.tree_map(_tp_shape_rule(mesh, min_size), params)

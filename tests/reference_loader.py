@@ -7,6 +7,7 @@ For weight-converter parity testing we only need the pure-torch modules
 reference code is EXECUTED for comparison only — nothing is copied.
 """
 
+import importlib.machinery
 import sys
 import types
 
@@ -99,6 +100,11 @@ def _install_stubs():
         if name in sys.modules:
             continue
         m = types.ModuleType(name)
+        # A real ModuleSpec is required: torch.optim lazily imports
+        # torch._dynamo, whose trace_rules call importlib.util.find_spec
+        # on installed modules; a bare ModuleType with __spec__=None makes
+        # find_spec raise ValueError ("tqdm.__spec__ is None").
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         for k, v in attrs.items():
             setattr(m, k, v)
         sys.modules[name] = m

