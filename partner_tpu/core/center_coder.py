@@ -73,7 +73,16 @@ class CenterCoder:
         return enc - preds
 
     def decode(self, preds):
-        """Encoded predictions -> raw boxes [x, y, z, dx, dy, dz, yaw, ...]."""
+        """Encoded predictions -> raw boxes [x, y, z, dx, dy, dz, yaw, ...].
+
+        True inverse of ``encode`` including ``rectify``: x/y are absolute
+        in this encoding, so the center azimuth subtracted by
+        ``_rectified_yaw`` is recoverable as atan2(y, x). Deviation: the
+        reference coder raises here (box_coder_utils.py:234-235) and
+        defers the azimuth add to the head decode
+        (e2e_swv_head.py:344-354) — same math, done in one place so every
+        caller (SetCriterion IoU losses, E2EDetector.predict) decodes to
+        the GLOBAL frame regardless of coder config (ADVICE r4)."""
         xyz = preds[..., :3]
         # clamp: raw dim logits can spike early in training; e^8 = 3 km
         dims = jnp.exp(jnp.clip(preds[..., 3:6], -8.0, 8.0))
@@ -84,7 +93,8 @@ class CenterCoder:
             yaw = preds[..., 6] * self.period
             extra = preds[..., 7:]
         if self.rectify:
-            raise NotImplementedError("rectified decode handled in head decode")
+            yaw = wrap_angle_pi(
+                yaw + jnp.arctan2(preds[..., 1], preds[..., 0]))
         return jnp.concatenate([xyz, dims, yaw[..., None], extra], axis=-1)
 
     # alias kept for parity with the reference API name
@@ -122,6 +132,18 @@ class CenterCoderV2(CenterCoder):
         ang_t = jnp.stack([jnp.cos(rg) - cosp, jnp.sin(rg) - sinp], axis=-1)
         extra_t = g[..., 7:] - preds[..., 8:]
         return jnp.concatenate([xyz_t, dims_t, ang_t, extra_t], axis=-1)
+
+    def decode(self, preds):
+        if self.rectify:
+            # V2's rectify is GRID-relative (yaw vs the emitting cell's
+            # azimuth, get_delta above) — the inverse needs the cell
+            # coordinates, which a bare encoding row doesn't carry.
+            raise NotImplementedError(
+                "CenterCoderV2 rectified decode needs the grid cell; "
+                "decode at the head where x_grid/y_grid are in scope")
+        return CenterCoder.decode(self, preds)
+
+    decode_torch = decode
 
     def encode_with_rois(self, boxes, rois):
         """RoI-relative encoding: centers normalized by the RoI BEV diagonal,
@@ -317,7 +339,9 @@ class CenterCoderTP(CenterCoder):
 
     def decode(self, preds, template_box=None):
         """Inverse without a dim clamp, matching the reference decode
-        (:1344-1366) exactly; the head decode path clips downstream."""
+        (:1344-1366) exactly; loss/NMS consumers clamp downstream. Like
+        CenterCoder.decode, the rectified inverse adds back atan2(y, x)
+        (the reference raises and defers to the head decode)."""
         xyz = preds[..., :3]
         dims = preds[..., 3:6] + self._template(template_box)
         if self.encode_angle_by_sincos:
@@ -327,7 +351,8 @@ class CenterCoderTP(CenterCoder):
             yaw = preds[..., 6] * self.period
             extra = preds[..., 7:]
         if self.rectify:
-            raise NotImplementedError("rectified decode handled in head decode")
+            yaw = wrap_angle_pi(
+                yaw + jnp.arctan2(preds[..., 1], preds[..., 0]))
         return jnp.concatenate([xyz, dims, yaw[..., None], extra], axis=-1)
 
     decode_torch = decode

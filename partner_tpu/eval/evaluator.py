@@ -128,7 +128,14 @@ def evaluate(det, cfg, dataset, variables, work_dir, logger,
             if k != "params":
                 variables[k] = jax.device_put(variables[k], replicated(mesh))
         bsh = batch_sharding(mesh)
-        batch_put = lambda v: jax.device_put(np.asarray(v), bsh)
+        if jax.process_count() > 1:
+            # each process holds only its LOCAL rows of the global batch;
+            # device_put would wrongly treat them as the full global array
+            # — mirror training's shard_batch (ADVICE r4 low)
+            batch_put = lambda v: jax.make_array_from_process_local_data(
+                bsh, np.asarray(v))
+        else:
+            batch_put = lambda v: jax.device_put(np.asarray(v), bsh)
 
     kind = input_kind or getattr(det, "input_kind", "voxels")
     predict = predict_fn or build_predict_fn(det, cfg, kind)

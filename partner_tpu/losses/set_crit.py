@@ -121,7 +121,7 @@ class SetCriterion:
 
         # --- loss_iou ---
         if "pred_ious" in preds and "loss_iou" in self.losses:
-            dec = self.coder.decode(pred_matched)[..., :7]
+            dec = _safe_dims(self.coder.decode(pred_matched)[..., :7])
             t_iou = jax.lax.stop_gradient(boxes_iou3d(dec, gt_boxes[..., :7]))
             t_iou = jnp.nan_to_num(t_iou) * 2.0 - 1.0
             p_iou = jnp.take_along_axis(
@@ -134,7 +134,7 @@ class SetCriterion:
         if "loss_iou_reg" in self.losses:
             from .iou_losses import iou_reg_loss
 
-            dec = self.coder.decode(pred_matched)[..., :7]
+            dec = _safe_dims(self.coder.decode(pred_matched)[..., :7])
             out["loss_iou_reg"] = iou_reg_loss(
                 dec, gt_boxes[..., :7], self.iou_reg_type, mask=matched
             ) / num_boxes
@@ -145,6 +145,16 @@ class SetCriterion:
         out["loss"] = total
         out["num_matched"] = matched.sum()
         return out
+
+
+def _safe_dims(boxes):
+    """Floor-clamp decoded dims before the IoU losses: CenterCoderTP's
+    linear dim decode has no clamp (matching the reference), so early in
+    training preds + template can be <= 0 and the DIoU/iou3d volume math
+    emits NaN gradients (ADVICE r4 low: loss_iou nan_to_nums only the
+    TARGET; loss_iou_reg has nothing)."""
+    dims = jnp.maximum(boxes[..., 3:6], 1e-5)
+    return jnp.concatenate([boxes[..., :3], dims, boxes[..., 6:]], axis=-1)
 
 
 def smooth_l1_torch(x, beta=1.0):

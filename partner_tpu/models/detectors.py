@@ -64,6 +64,12 @@ class VoxelNetModule(nn.Module):
     # azimuth axis over the 'azimuth' mesh axis makes XLA spatially partition
     # the neck convs with automatic halo exchange (SP; SURVEY.md 5.7)
     bev_pspec: Any = None
+    # probe-only: insert stop_gradient after the named phases
+    # ("backbone" | "set" | "neck") so the train-anatomy probe can
+    # attribute BACKWARD time per phase by differencing grad programs
+    # (tools/probes/train_anatomy.py; VERDICT r4 next #2). Never set in
+    # production configs.
+    sg_after: Tuple[str, ...] = ()
 
     def setup(self):
         self.reader = build_from_cfg(dict(self.reader_cfg), READERS)
@@ -110,6 +116,7 @@ class VoxelNetModule(nn.Module):
                 drop_path=set_cfg.get("set_drop_path", 0.1),
                 dtype=resolve_compute_dtype(
                     set_cfg.get("set_compute_dtype", "float32")),
+                remat=set_cfg.get("set_remat", False),
             )
 
     def __call__(self, example, train: bool = True, return_bev: bool = False):
@@ -133,16 +140,23 @@ class VoxelNetModule(nn.Module):
                 self.grid_size, train=train,
             )  # (B, n_az/8, n_r/8, C)
 
+        if "backbone" in self.sg_after:
+            bev = jax.lax.stop_gradient(bev)
+
         if self.with_set_attention:
             x = bev.transpose(0, 2, 1, 3)  # (B, n_r, n_az, C)
             pos = jnp.broadcast_to(self.bev_pos[None], x.shape[:3] + (2,))
             x = self.attns(x, pos, deterministic=not train, train=train)
             bev = x.transpose(0, 2, 1, 3)
+        if "set" in self.sg_after:
+            bev = jax.lax.stop_gradient(bev)
 
         if self.bev_pspec is not None:
             bev = jax.lax.with_sharding_constraint(bev, self.bev_pspec)
 
         x = self.neck(bev, train=train)
+        if "neck" in self.sg_after:
+            x = jax.lax.stop_gradient(x)
         out = self.bbox_head(x, train=train) if self.bbox_head else {}
         if self.seg_head is not None:
             # dense backbone exposes its pooled 3D canvas; the sparse
@@ -253,8 +267,14 @@ class E2EDetector(Detector):
 
     def predict(self, variables, example):
         preds = self.module.apply(variables, example, train=False)
-        boxes, scores = e2e_head.decode_head_preds(
-            preds, self.offset_grid,
+        # decode through the CONFIGURED coder (the criterion trained the
+        # regression maps in coder-encoded space, so the inverse must be
+        # the same coder's — ADVICE r4 medium): for the default
+        # CenterCoder this is bit-identical to the hardcoded cartesian
+        # decode (test_e2e_head.py pins it)
+        flat = e2e_head.flatten_head_preds(preds, self.offset_grid)
+        boxes, scores = e2e_head.decode_flat_preds(
+            flat, self.criterion.coder,
             iou_factor=self.test_cfg.get("iou_factor", 1.0),
             rectify=self.test_cfg.get("rectify", False),
         )
@@ -414,6 +434,7 @@ def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
         "voxel_shape": bbox_head.get("voxel_shape", "cylinder"),
         "compute_dtype": bbox_head["HEAD_CONFIG"].get("compute_dtype",
                                                       "float32"),
+        "remat": bbox_head["HEAD_CONFIG"].get("remat", False),
     }
 
     module = VoxelNetModule(
@@ -438,6 +459,16 @@ def build_voxelnet_v3(reader, backbone, neck, bbox_head, seg_head=None,
     coder_cfg.setdefault("encode_angle_by_sincos", True)
     coder_cfg.setdefault("rectify", False)
     coder = build_coder(coder_cfg)
+    # the single-task E2E criterion never threads task_id into
+    # get_delta/decode, so a multi-anchor MTTP coder would silently train
+    # and decode every box against task 0's anchor — refuse at build time
+    # (ADVICE r4 medium)
+    tmp_box = getattr(coder, "tmp_box", None)
+    if tmp_box is not None and tmp_box.shape[0] > 1:
+        raise ValueError(
+            "CenterCoderMTTP with multiple task anchors is unsupported by "
+            "the single-task E2E head (task_id is never threaded); use one "
+            "anchor row or a per-task head")
     sc = bbox_head.get("SET_CRIT_CONFIG", {})
     mc = bbox_head.get("MATCHER_CONFIG", {})
     criterion = SetCriterion(

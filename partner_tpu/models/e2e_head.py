@@ -155,6 +155,33 @@ def decode_head_preds(preds, offset_grid, iou_factor=1.0, rectify=False):
     return boxes, hm
 
 
+def decode_flat_preds(flat, coder, iou_factor=1.0, rectify=False):
+    """Decode flattened predictions through the CONFIGURED box coder.
+
+    -> (boxes (B, N, 7+), scores (B, N, ncls)). Same semantics as
+    decode_head_preds but the box inverse is ``coder.decode`` instead of
+    the hardcoded cartesian CenterCoder inverse, so CODER_CONFIG variants
+    (Polar*/TP/MTTP) predict in the space they trained in (ADVICE r4).
+    ``rectify`` mirrors the reference's test_cfg flag and pairing assert
+    (e2e_swv_head.py:344-345: rectify requires box_coder.rectify); the
+    azimuth add itself lives inside coder.decode (the true inverse), so
+    nothing is double-applied here. Dims are floor-clamped for the
+    downstream IoU/NMS (CenterCoderTP.decode deliberately has no clamp,
+    matching the reference)."""
+    if rectify and not getattr(coder, "rectify", False):
+        raise ValueError(
+            "test_cfg rectify=True requires a rectifying box coder "
+            "(reference e2e_swv_head.py:345 asserts the same pairing)")
+    scores = jax.nn.sigmoid(flat["pred_logits"])
+    if "pred_ious" in flat:
+        iou = jnp.clip((flat["pred_ious"][..., 0] + 1.0) * 0.5, 0.0, 1.0)
+        scores = scores * jnp.power(iou, iou_factor)[..., None]
+    boxes = coder.decode(flat["pred_boxes"])
+    dims = jnp.maximum(boxes[..., 3:6], 1e-5)
+    boxes = jnp.concatenate([boxes[..., :3], dims, boxes[..., 6:]], axis=-1)
+    return boxes, scores
+
+
 @BBOX_HEADS.register_module(name="E2ESWVoteHead")
 class E2ESWVoteHead(nn.Module):
     in_channels: int = 512
@@ -173,6 +200,7 @@ class E2ESWVoteHead(nn.Module):
     out_size_factor: int = 8
     voxel_shape: str = "cylinder"
     compute_dtype: str = "float32"  # "bfloat16" halves the head's HBM traffic
+    remat: bool = False  # remat the SwinVote blocks in backward (training)
 
     def setup(self):
         dt = resolve_compute_dtype(self.compute_dtype)
@@ -191,7 +219,7 @@ class E2ESWVoteHead(nn.Module):
         self.layer = SwinVoteTransformer(
             embed_dim=half, depth=self.sl_depth, num_heads=self.num_heads,
             window_size=self.window_size, mlp_ratio=self.mlp_ratio,
-            compute_dtype=self.compute_dtype, name="layer",
+            compute_dtype=self.compute_dtype, remat=self.remat, name="layer",
         )
         self.cls_head = ConvBNHead(
             half, self.num_classes, self.kernel_size,

@@ -289,11 +289,16 @@ class SetBlockStack(nn.Module):
     mlp_ratio: float = 4.0
     gelu_approx: bool = True
     dtype: Any = jnp.float32
+    # remat each block in the backward pass (train-throughput lever,
+    # tools/probes/train_anatomy.py)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, pos, deterministic=True, train=True):
+        block_cls = (nn.remat(SetAttention, static_argnums=(3, 4))
+                     if self.remat else SetAttention)
         for i in range(self.depth):
-            x = SetAttention(
+            x = block_cls(
                 num_heads=self.num_heads,
                 num_keypoints=self.num_keypoints,
                 range_window=self.range_window,

@@ -234,3 +234,166 @@ class TestStaticRPECache:
             np.testing.assert_allclose(np.asarray(got[k]),
                                        np.asarray(live[k]), atol=1e-6)
 
+
+
+class TestCoderRoutedDecode:
+    """predict must decode through the CONFIGURED coder (ADVICE r4 medium:
+    the old path hardcoded the cartesian CenterCoder inverse, so a model
+    trained with a Polar*/TP coder produced wrong boxes at inference)."""
+
+    def test_default_coder_matches_hardcoded_decode(self, rng):
+        from partner_tpu.core.center_coder import CenterCoder
+        from partner_tpu.models.e2e_head import (decode_flat_preds,
+                                                 decode_head_preds,
+                                                 flatten_head_preds,
+                                                 head_offset_grid)
+
+        head, variables, x = init_head(rng)
+        preds = head.apply(variables, x, train=False)
+        grid = head_offset_grid(GRID, PR, 8)
+        want_b, want_s = decode_head_preds(preds, grid, iou_factor=1.0)
+        flat = flatten_head_preds(preds, grid)
+        got_b, got_s = decode_flat_preds(
+            flat, CenterCoder(code_size=7, encode_angle_by_sincos=True),
+            iou_factor=1.0)
+        np.testing.assert_array_equal(np.asarray(want_b), np.asarray(got_b))
+        np.testing.assert_array_equal(np.asarray(want_s), np.asarray(got_s))
+
+    def test_polar_coder_roundtrip_through_decode(self, rng):
+        """encode -> decode_flat_preds recovers the raw boxes when the
+        flat predictions ARE polar encodings (the trained-space contract
+        the old hardcoded decode broke)."""
+        from partner_tpu.core.center_coder import CenterCoderPolar
+        from partner_tpu.models.e2e_head import decode_flat_preds
+
+        coder = CenterCoderPolar(code_size=7, encode_angle_by_sincos=True,
+                                 rectify=True)
+        boxes = np.stack([
+            rng.uniform(5, 30, 12), rng.uniform(-20, 20, 12),
+            rng.uniform(-1, 1, 12), rng.uniform(1.5, 5, 12),
+            rng.uniform(1.5, 5, 12), rng.uniform(1, 2.5, 12),
+            rng.uniform(-np.pi, np.pi, 12),
+        ], axis=-1).astype(np.float32)[None]
+        # dy >= dx: the polar ratio convention
+        dims = np.sort(boxes[..., 3:5], axis=-1)
+        boxes[..., 3:5] = dims
+        flat = {
+            "pred_logits": jnp.zeros((1, 12, 1)),
+            "pred_boxes": coder.encode(jnp.asarray(boxes)),
+        }
+        dec, _ = decode_flat_preds(flat, coder, rectify=True)
+        np.testing.assert_allclose(np.asarray(dec[..., :6]),
+                                   boxes[..., :6], rtol=1e-4, atol=1e-4)
+        dy = np.asarray(
+            np.arctan2(np.sin(dec[..., 6] - boxes[..., 6]),
+                       np.cos(dec[..., 6] - boxes[..., 6])))
+        assert np.abs(dy).max() < 1e-4
+
+    def test_cartesian_rectified_decode_is_true_inverse(self, rng):
+        from partner_tpu.core.center_coder import CenterCoder
+
+        coder = CenterCoder(code_size=7, encode_angle_by_sincos=True,
+                            rectify=True)
+        boxes = np.stack([
+            rng.uniform(-30, 30, 16), rng.uniform(-30, 30, 16),
+            rng.uniform(-1, 1, 16), rng.uniform(1.5, 5, 16),
+            rng.uniform(1.5, 5, 16), rng.uniform(1, 2.5, 16),
+            rng.uniform(-np.pi, np.pi, 16),
+        ], axis=-1).astype(np.float32)
+        dec = np.asarray(coder.decode(coder.encode(jnp.asarray(boxes))))
+        np.testing.assert_allclose(dec[..., :6], boxes[..., :6],
+                                   rtol=1e-4, atol=1e-4)
+        dy = np.arctan2(np.sin(dec[..., 6] - boxes[..., 6]),
+                        np.cos(dec[..., 6] - boxes[..., 6]))
+        assert np.abs(dy).max() < 1e-4
+
+    def test_rectify_requires_rectifying_coder(self, rng):
+        """reference e2e_swv_head.py:345 asserts the same pairing."""
+        import pytest
+
+        from partner_tpu.core.center_coder import CenterCoder
+        from partner_tpu.models.e2e_head import decode_flat_preds
+
+        flat = {"pred_logits": jnp.zeros((1, 4, 1)),
+                "pred_boxes": jnp.zeros((1, 4, 8))}
+        with pytest.raises(ValueError, match="rectify"):
+            decode_flat_preds(flat, CenterCoder(), rectify=True)
+
+    def test_mttp_multi_anchor_refused_at_build(self):
+        """The single-task criterion never threads task_id; a multi-anchor
+        MTTP coder must be refused at build time (ADVICE r4 medium)."""
+        import pytest
+
+        from partner_tpu.models import build_detector
+        from tests.test_detector import tiny_model_cfg
+
+        cfg = tiny_model_cfg()
+        cfg["bbox_head"] = dict(cfg["bbox_head"])
+        cfg["bbox_head"]["CODER_CONFIG"] = {
+            "type": "CenterCoderMTTP",
+            "tmp_box": [[4.0, 2.0, 1.6], [1.0, 1.0, 1.7]],
+        }
+        with pytest.raises(ValueError, match="MTTP"):
+            build_detector(cfg)
+
+
+class TestRematParity:
+    """jax.checkpoint'd blocks must be numerically identical to the plain
+    path (remat only changes WHEN activations are recomputed); pins the
+    static_argnums wiring of nn.remat on both stacks (train-throughput
+    lever, tools/probes/train_bwd_anatomy.py)."""
+
+    def test_swin_vote_remat_value_and_grads(self, rng):
+        from partner_tpu.models.swin_vote import SwinVoteTransformer
+
+        x = jnp.asarray(rng.randn(1, 16, 8, 32).astype(np.float32))
+        pos = jnp.asarray(rng.randn(1, 16, 8, 2).astype(np.float32))
+        vote = jnp.asarray(rng.randn(1, 16, 8, 3).astype(np.float32))
+        plain = SwinVoteTransformer(embed_dim=32, depth=2, num_heads=2,
+                                    window_size=4)
+        variables = plain.init(jax.random.PRNGKey(0), x, pos, vote,
+                               deterministic=False)
+        remat = SwinVoteTransformer(embed_dim=32, depth=2, num_heads=2,
+                                    window_size=4, remat=True)
+
+        def loss(m, p):
+            return (m.apply({"params": p}, x, pos, vote,
+                            deterministic=True) ** 2).sum()
+
+        v0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(
+            variables["params"])
+        v1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(
+            variables["params"])
+        assert float(v0) == float(v1)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_set_block_remat_value_and_grads(self, rng):
+        from partner_tpu.models.set_transformer import SetBlockStack
+
+        x = jnp.asarray(rng.randn(1, 16, 16, 32).astype(np.float32))
+        pos = jnp.asarray(rng.randn(1, 16, 16, 2).astype(np.float32))
+        plain = SetBlockStack(depth=2, num_heads=2, num_keypoints=2,
+                              range_window=4, drop=0.0, attn_drop=0.0,
+                              drop_path=0.0)
+        variables = plain.init(jax.random.PRNGKey(0), x, pos,
+                               deterministic=True, train=False)
+        remat = SetBlockStack(depth=2, num_heads=2, num_keypoints=2,
+                              range_window=4, drop=0.0, attn_drop=0.0,
+                              drop_path=0.0, remat=True)
+
+        bs = variables.get("batch_stats", {})
+
+        def loss(m, p):
+            return (m.apply({"params": p, "batch_stats": bs}, x, pos,
+                            deterministic=True, train=False) ** 2).sum()
+
+        v0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(
+            variables["params"])
+        v1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(
+            variables["params"])
+        assert float(v0) == float(v1)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
