@@ -146,6 +146,50 @@ class Dense2DResBlock(nn.Module):
         return nn.relu(y.astype(self.dtype) + identity)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _scatter_max_rows(vals, lin, cells, zero_base):
+    """(P, C) rows scatter-maxed into (cells, C) by lin (P,); rows with
+    lin == cells are dropped. zero_base: 0-init (post-ReLU fold2d path)
+    vs neg-inf init (general path)."""
+    c = vals.shape[-1]
+    if zero_base:
+        base = jnp.zeros((cells + 1, c), vals.dtype)
+    else:
+        base = jnp.full((cells + 1, c), jnp.finfo(vals.dtype).min,
+                        vals.dtype)
+    return base.at[lin].max(vals, mode="drop")[:cells]
+
+
+def _scatter_max_rows_fwd(vals, lin, cells, zero_base):
+    out = _scatter_max_rows(vals, lin, cells, zero_base)
+    return out, (vals, lin, out)
+
+
+def _scatter_max_rows_bwd(cells, zero_base, res, g):
+    """Gather-based max-scatter VJP: the cotangent of each canvas cell
+    flows to the point rows whose value EQUALS the cell's max (two
+    vectorized gathers + a compare), replacing XLA's scatter-lowered
+    transpose — measured 11.8 ms -> ~1 ms for the flagship 216k x 64
+    scatter (tools/probes/train_bwd_anatomy.py: the scatter VJP was the
+    single largest backward line item). Tie semantics: every tied winner
+    receives the full cotangent (a valid max subgradient); in this
+    backbone ties are post-ReLU zeros whose gradient the upstream ReLU
+    VJP kills anyway (relu'(0) = 0), so training numerics match the XLA
+    path (pinned by test_backbone_dense.py)."""
+    vals, lin, out = res
+    gpad = jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
+    opad = jnp.concatenate([out, jnp.zeros_like(out[:1])], axis=0)
+    won = vals == opad[lin]
+    gv = jnp.where(won, gpad[lin], 0).astype(vals.dtype)
+    return gv, None
+
+
+_scatter_max_rows.defvjp(_scatter_max_rows_fwd, _scatter_max_rows_bwd)
+
+
 def scatter_canvas(feats, coords, mask, canvas_shape, z_pool, bev_pool,
                    dtype=jnp.float32, fold2d=False):
     """Scatter-max voxel features into a dense pooled canvas.
@@ -186,17 +230,16 @@ def scatter_canvas(feats, coords, mask, canvas_shape, z_pool, bev_pool,
             # 0-init max-scatter: for post-ReLU (>= 0) features, max with a
             # zero base equals the neg-inf-init + clamp-at-0 cleanup, so the
             # empty-cell pass over the 94 MB canvas disappears entirely
-            canvas = jnp.zeros((cells + 1, c), dtype).at[lin].max(
-                jnp.where(m[:, None], f, 0).astype(dtype),
-                mode="drop")[:cells]
+            canvas = _scatter_max_rows(
+                jnp.where(m[:, None], f, 0).astype(dtype), lin, cells, True)
             # occupancy via a 1-wide count scatter; lazily computed — XLA
             # drops it (and this second scatter) when no seg head consumes it
             cnt = jnp.zeros((cells + 1, 1), jnp.int32).at[lin].add(
                 jnp.ones((lin.shape[0], 1), jnp.int32), mode="drop")[:cells]
             occ = (cnt[:, 0] > 0).reshape(cy, cx, cz)
             return canvas.reshape(cy, cx, cz * c), occ
-        canvas = jnp.full((cells + 1, c), neg, dtype).at[lin].max(
-            jnp.where(m[:, None], f, neg).astype(dtype), mode="drop")[:cells]
+        canvas = _scatter_max_rows(
+            jnp.where(m[:, None], f, neg).astype(dtype), lin, cells, False)
         # occupancy derived from the max itself instead of a second
         # 200k-update scatter: any finite scattered value exceeds
         # finfo.min/2, while untouched cells stay at finfo.min
@@ -235,6 +278,10 @@ class PolarDenseFHD(nn.Module):
     trunk2d: bool = False
     a2d_features: int = 160   # stage-A width in trunk2d mode
     out_features: int = 256   # BEV channels in trunk2d mode
+    # probe-only: stop_gradient after "scatter" (kills the scatter-max VJP
+    # + stem backward) for per-phase backward attribution
+    # (tools/probes/train_anatomy.py); never set in production configs
+    sg_after: Tuple[str, ...] = ()
 
     def _canvas_shape(self, input_shape):
         n_r, n_az, n_z = (int(s) for s in input_shape)
@@ -434,6 +481,8 @@ class PolarDenseFHD(nn.Module):
         canvas, occ = scatter_canvas(
             x, coords, inb, canvas_shape, 1, 1, dtype=dt,
             fold2d=self.trunk2d)
+        if "scatter" in self.sg_after:
+            canvas = jax.lax.stop_gradient(canvas)
         return self._trunk(canvas, occ, train)
 
     def __call__(self, voxel_features, coords, mask, input_shape,

@@ -204,3 +204,96 @@ def test_trunk2d_shapes_grads_and_trains(rng):
         if i == 0:
             l0 = float(l)
     assert float(l) < 0.5 * l0, (l0, float(l))
+
+
+class TestScatterMaxCustomVJP:
+    """The gather-based max-scatter VJP (backbone_dense._scatter_max_rows)
+    must match XLA's native scatter-max gradient on tie-free data and
+    produce training-equivalent gradients through the real ReLU stem path
+    where the only ties are post-ReLU zeros (relu'(0)=0 kills them)."""
+
+    def _xla_ref(self, vals, lin, cells, zero_base):
+        import jax.numpy as jnp
+        c = vals.shape[-1]
+        if zero_base:
+            base = jnp.zeros((cells + 1, c), vals.dtype)
+        else:
+            base = jnp.full((cells + 1, c), jnp.finfo(vals.dtype).min,
+                            vals.dtype)
+        return base.at[lin].max(vals, mode="drop")[:cells]
+
+    def test_forward_bit_parity_and_grad_on_tiefree(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models.backbone_dense import _scatter_max_rows
+
+        p, c, cells = 600, 8, 64
+        # tie-free by construction: unique values
+        vals = jnp.asarray(
+            np.random.RandomState(0).permutation(p * c).reshape(p, c)
+            .astype(np.float32))
+        lin = jnp.asarray(np.random.RandomState(1).randint(0, cells + 1, p))
+
+        for zero_base in (True, False):
+            out = _scatter_max_rows(vals, lin, cells, zero_base)
+            ref = self._xla_ref(vals, lin, cells, zero_base)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+            g_ours = jax.grad(lambda v: (
+                _scatter_max_rows(v, lin, cells, zero_base) ** 2).sum())(vals)
+            g_ref = jax.grad(lambda v: (
+                self._xla_ref(v, lin, cells, zero_base) ** 2).sum())(vals)
+            np.testing.assert_array_equal(np.asarray(g_ours),
+                                          np.asarray(g_ref))
+
+    def test_grad_through_relu_matches_xla_with_zero_ties(self, rng):
+        """Real-path shape: relu(x) -> 0-init scatter-max. Cells where the
+        max is 0 have ALL members tied at 0; our VJP hands each the
+        cotangent but relu' kills it, so d/dx must equal the XLA path."""
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models.backbone_dense import _scatter_max_rows
+
+        p, c, cells = 400, 4, 16
+        x = jnp.asarray(rng.randn(p, c).astype(np.float32))
+        lin = jnp.asarray(rng.randint(0, cells, p))
+
+        def loss_ours(x):
+            return (_scatter_max_rows(jax.nn.relu(x), lin, cells, True)
+                    ** 2).sum()
+
+        def loss_ref(x):
+            return (self._xla_ref(jax.nn.relu(x), lin, cells, True)
+                    ** 2).sum()
+
+        np.testing.assert_array_equal(
+            np.asarray(jax.grad(loss_ours)(x)),
+            np.asarray(jax.grad(loss_ref)(x)))
+
+    def test_scatter_canvas_grad_unchanged(self, rng):
+        """End-to-end scatter_canvas gradients through both paths."""
+        import jax
+        import jax.numpy as jnp
+
+        from partner_tpu.models.backbone_dense import scatter_canvas
+
+        b, n, c = 2, 128, 4
+        feats = jnp.asarray(np.abs(rng.randn(b, n, c)).astype(np.float32))
+        coords = jnp.asarray(
+            np.stack([rng.randint(0, 4, (b, n)), rng.randint(0, 8, (b, n)),
+                      rng.randint(0, 8, (b, n))], -1).astype(np.int32))
+        mask = jnp.asarray(rng.rand(b, n) > 0.2)
+
+        for fold2d in (True, False):
+            def loss(f):
+                canvas, _ = scatter_canvas(f, coords, mask, (4, 8, 8), 1, 1,
+                                           fold2d=fold2d)
+                return (canvas.astype(jnp.float32) ** 2).sum()
+
+            g = jax.grad(loss)(feats)
+            assert np.isfinite(np.asarray(g)).all()
+            # masked rows receive no gradient
+            gm = np.asarray(g)[~np.asarray(mask)]
+            assert (gm == 0).all()

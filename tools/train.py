@@ -110,6 +110,17 @@ def main():
     # carves out tensor-parallel / azimuth-sector axes (the reference is
     # distributed-by-default too, tools/train.py:100-107)
     n_data, n_model, n_az = parse_mesh_spec(args.mesh, len(jax.devices()))
+    # the AUTO mesh adapts to the batch: a default data axis larger than
+    # the batch can divide (e.g. 8 virtual devices, --batch_size 2) shrinks
+    # to the largest batch divisor instead of dying; an EXPLICIT --mesh
+    # stays strict (checked below)
+    auto_bs = args.batch_size or (
+        cfg.data["samples_per_gpu"] * jax.local_device_count())
+    if args.mesh in (None, "", "auto") and auto_bs % n_data:
+        n_data = max(d for d in range(1, min(n_data, auto_bs) + 1)
+                     if auto_bs % d == 0)
+        logger.info(f"auto mesh: data axis shrunk to {n_data} to divide "
+                    f"batch_size {auto_bs}")
     mesh = make_mesh(n_data, n_model, n_az)
     logger.info(f"mesh: data={n_data} model={n_model} azimuth={n_az}")
     det_kwargs = {}
