@@ -38,6 +38,11 @@ from .registry import BBOX_HEADS
 from .swin_vote import SwinVoteTransformer
 
 
+# torch nn.BatchNorm2d default, which the reference E2E head uses
+# (vs the det3d conv stacks' 1e-3 override, layers.BN_EPS)
+HEAD_BN_EPS = 1e-5
+
+
 class ConvHead(nn.Module):
     hidden: int
     out: int
@@ -71,7 +76,12 @@ class ConvBNHead(nn.Module):
     def __call__(self, x, train: bool = True):
         x = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=True,
                     dtype=self.dtype)(x)
-        x = BatchNorm(use_running_average=not train)(x)
+        # the reference E2E head's norms are PLAIN nn.BatchNorm2d
+        # (e2e_swv_head.py:78,110 — torch defaults eps=1e-5, momentum=0.1),
+        # not the det3d conv-stack eps=1e-3 override; found by the chained
+        # converted-weight parity test (test_torch_parity.py)
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
+                      epsilon=HEAD_BN_EPS)(x)
         x = nn.relu(x).astype(self.dtype)
         k = (self.kernel, self.kernel)
         bias_init = (
@@ -201,6 +211,7 @@ class E2ESWVoteHead(nn.Module):
     voxel_shape: str = "cylinder"
     compute_dtype: str = "float32"  # "bfloat16" halves the head's HBM traffic
     remat: bool = False  # remat the SwinVote blocks in backward (training)
+    gelu_approx: bool = True  # False = torch-exact erf GELU (parity tests)
 
     def setup(self):
         dt = resolve_compute_dtype(self.compute_dtype)
@@ -219,7 +230,8 @@ class E2ESWVoteHead(nn.Module):
         self.layer = SwinVoteTransformer(
             embed_dim=half, depth=self.sl_depth, num_heads=self.num_heads,
             window_size=self.window_size, mlp_ratio=self.mlp_ratio,
-            compute_dtype=self.compute_dtype, remat=self.remat, name="layer",
+            compute_dtype=self.compute_dtype, remat=self.remat,
+            gelu_approx=self.gelu_approx, name="layer",
         )
         self.cls_head = ConvBNHead(
             half, self.num_classes, self.kernel_size,
@@ -268,7 +280,7 @@ class E2ESWVoteHead(nn.Module):
                 bns = mod.variables["batch_stats"]["BatchNorm_0"][
                     "BatchNorm_0"]
                 a = bnp["scale"] * jax.lax.rsqrt(
-                    bns["var"] + layers.BN_EPS)
+                    bns["var"] + HEAD_BN_EPS)
                 affs.append((a, bnp["bias"] - bns["mean"] * a))
             else:
                 affs.append(None)

@@ -328,6 +328,7 @@ class SwinVoteTransformer(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     compute_dtype: str = "float32"
+    gelu_approx: bool = True  # False = torch-exact erf GELU (parity tests)
     # rematerialize each block in the backward pass (jax.checkpoint):
     # trades recompute FLOPs for the HBM traffic of the stored
     # window-stream intermediates — a training-throughput lever measured
@@ -347,6 +348,7 @@ class SwinVoteTransformer(nn.Module):
                 self.embed_dim, self.num_heads, self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, drop=self.drop,
-                attn_drop=self.attn_drop, dtype=dt, name=f"block{i}",
+                attn_drop=self.attn_drop, dtype=dt,
+                gelu_approx=self.gelu_approx, name=f"block{i}",
             )(x, pos, vote, deterministic)
         return nn.LayerNorm(name="norm_out")(x)

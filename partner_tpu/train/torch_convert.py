@@ -369,3 +369,72 @@ def convert_backbone_state_dict(sd):
     params["extra_conv"]["MaskedBatchNorm_0"] = bp
     stats["extra_conv"] = {"MaskedBatchNorm_0": bs}
     return params, stats
+
+
+def _conv2d(sd, prefix):
+    p = {"kernel": convert_torch_conv2d(_np(sd[f"{prefix}.weight"]))}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _conv_head(sd, prefix):
+    """Reference Sequential(Conv, ReLU, Conv) -> our ConvHead
+    {Conv_0, Conv_1} (e2e_swv_head.py:91-96 vote/bbox/iou heads)."""
+    return {"Conv_0": _conv2d(sd, f"{prefix}.0"),
+            "Conv_1": _conv2d(sd, f"{prefix}.2")}
+
+
+def _conv_bn_head(sd, conv0, bn, conv1):
+    """Reference Conv+BN+ReLU+Conv -> our ConvBNHead
+    {Conv_0, BatchNorm_0, Conv_1}; returns (params, batch_stats)."""
+    bp, bs = _bn(sd, bn, nested=True)
+    return ({"Conv_0": _conv2d(sd, conv0), "BatchNorm_0": bp,
+             "Conv_1": _conv2d(sd, conv1)},
+            {"BatchNorm_0": bs})
+
+
+def convert_e2e_head_state_dict(sd, sl_depth=2, iou_head=True):
+    """De-typo'd reference E2ESWVoteHead (e2e_swv_head.py:22-173 +
+    sw2votev4_util.py SwinTransformer) -> our E2ESWVoteHead
+    (params, batch_stats).
+
+    Layout map (reference key -> our module):
+      vote_head.{0,2}                -> vote_head ConvHead
+      vote_cls_head.{0,1,3}          -> vote_cls_head ConvBNHead
+      cls_head.{0.0,0.1,1} (repaired single-block head,
+        reference_loader.load_reference_e2e_head) -> cls_head ConvBNHead
+      bbox_head.{0,2} / iou_head.{0,2} -> ConvHeads
+      layer.patch_embed.{proj,norm}  -> layer.{patch_embed, patch_norm}
+      layer.layers.0.blocks.{i}.*    -> layer.block{i} (norm1/norm2 LN,
+        attn via convert_window_attention_state_dict, mlp.fc{1,2})
+      layer.norm0                    -> layer.norm_out
+    """
+    params = {
+        "vote_head": _conv_head(sd, "vote_head"),
+        "bbox_head": _conv_head(sd, "bbox_head"),
+    }
+    stats = {}
+    params["vote_cls_head"], stats["vote_cls_head"] = _conv_bn_head(
+        sd, "vote_cls_head.0", "vote_cls_head.1", "vote_cls_head.3")
+    params["cls_head"], stats["cls_head"] = _conv_bn_head(
+        sd, "cls_head.0.0", "cls_head.0.1", "cls_head.1")
+    if iou_head:
+        params["iou_head"] = _conv_head(sd, "iou_head")
+
+    layer = {
+        "patch_embed": _conv2d(sd, "layer.patch_embed.proj"),
+        "patch_norm": _ln(sd, "layer.patch_embed.norm"),
+        "norm_out": _ln(sd, "layer.norm0"),
+    }
+    for i in range(sl_depth):
+        pre = f"layer.layers.0.blocks.{i}."
+        layer[f"block{i}"] = {
+            "norm1": _ln(sd, f"{pre}norm1"),
+            "norm2": _ln(sd, f"{pre}norm2"),
+            "attn": convert_window_attention_state_dict(sd, f"{pre}attn."),
+            "mlp_fc1": _linear(sd, f"{pre}mlp.fc1"),
+            "mlp_fc2": _linear(sd, f"{pre}mlp.fc2"),
+        }
+    params["layer"] = layer
+    return params, stats

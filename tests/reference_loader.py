@@ -274,3 +274,129 @@ def load_reference_set_transformer():
         sys.path.insert(0, _REFERENCE)
     from det3d.models.utils import set_transformer
     return set_transformer
+
+
+# mechanical de-typo fixes for the DOA E2E head stack (the exact SURVEY
+# section-0 catalog; each is a syntax/name-level correction of obviously
+# intended code, applied to SOURCE TEXT before exec — the reference is
+# otherwise executed verbatim):
+#   sw2votev4_util.py:58-63  kernal_size      -> kernel_size
+#   sw2votev4_util.py:69     .contiuous()     -> .contiguous()
+#   sw2votev4_util.py:80     torch.maixmum    -> torch.maximum
+#   sw2votev4_util.py:98     reshape(B, N, C) -> reshape(B_, N, C)
+#   sw2votev4_util.py:~270   img_mask dtype=torch.bool -> float32 (bool
+#                            region ids collapse and bool-minus raises)
+#   sw2votev4_util.py:~345   BasicLayer never appended to self.layers
+#                            (the ctor overwrites `layer` with the norm;
+#                            forward would IndexError on self.layers[i])
+_SW2VOTE_FIXES = [
+    ("kernal_size", "kernel_size"),
+    (".contiuous()", ".contiguous()"),
+    ("torch.maixmum", "torch.maximum"),
+    ("x = (attn @ v).transpose(1, 2).reshape(B, N, C)",
+     "x = (attn @ v).transpose(1, 2).reshape(B_, N, C)"),
+    ("img_mask = torch.zeros((1, Hp, Wp, 1), device=x.device, "
+     "dtype=torch.bool)",
+     "img_mask = torch.zeros((1, Hp, Wp, 1), device=x.device)"),
+    ("                               use_checkpoint=use_checkpoint)\n",
+     "                               use_checkpoint=use_checkpoint)\n"
+     "            self.layers.append(layer)\n"),
+    # timm stubs in this sandbox are attribute-less; the module only needs
+    # to_2tuple (DropPath is never constructed at drop_path_rate=0 and
+    # trunc_normal_ only in the uncalled init_weights)
+    ("from timm.models.layers import DropPath, to_2tuple, trunc_normal_",
+     "DropPath = trunc_normal_ = None\n"
+     "def to_2tuple(v):\n"
+     "    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)"),
+]
+
+
+class _HeadCfg(dict):
+    """dict accepting the reference ctor's quirks: tuple indexing
+    cfg['key', default] (intended .get — e2e_swv_head.py:58-63) and the
+    'kernal_size' key typo (:57)."""
+
+    def __getitem__(self, k):
+        if isinstance(k, tuple):
+            return self.get(*k)
+        if k == "kernal_size" and "kernal_size" not in self:
+            k = "kernel_size"
+        return dict.__getitem__(self, k)
+
+
+def load_reference_e2e_head():
+    """Returns (E2ESWVoteHead class, make(head_cfg_dicts) -> instance).
+
+    The shipped head is dead on arrival (SURVEY section 0); this loader
+    executes the INTENDED head: the swin util is exec'd from de-typo'd
+    source text (_SW2VOTE_FIXES), the head MODULE imports as-is (its typos
+    are all inside __init__/forward), and construction-time name typos are
+    absorbed by module-global injection (box_coder_conifg,
+    gt_processor_settings) plus _HeadCfg. The cls_head loop
+    (e2e_swv_head.py:75-85, `for i in range(2)` appending twice into one
+    Sequential) builds a channel-mismatched 4-module stack that cannot
+    even run; make() repairs it to the intended single
+    conv-bn-relu + final-conv head and re-applies the init_bias fill."""
+    _install_stubs()
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+    # set_crit imports need the same dead-import stubs
+    load_reference_set_criterion()
+
+    import importlib.util
+
+    import torch.nn as nn
+
+    src_path = (_REFERENCE
+                + "/det3d/models/bbox_heads/swin_utils/sw2votev4_util.py")
+    with open(src_path) as f:
+        src = f.read()
+    for old, new in _SW2VOTE_FIXES:
+        assert old in src, f"de-typo anchor not found: {old[:60]!r}"
+        src = src.replace(old, new)
+    spec = importlib.util.spec_from_loader("_ref_sw2votev4_detypo",
+                                           loader=None)
+    sw_mod = importlib.util.module_from_spec(spec)
+    exec(compile(src, src_path + " (de-typo'd)", "exec"), sw_mod.__dict__)
+    sys.modules["_ref_sw2votev4_detypo"] = sw_mod
+
+    import det3d.models.bbox_heads.e2e_swv_head as head_mod
+
+    def _swhead(**kw):
+        # the head passes depths= (e2e_swv_head.py:72) to a ctor whose
+        # parameter is depth= — one more name typo, absorbed here
+        kw = {("depth" if k == "depths" else k): v for k, v in kw.items()}
+        return sw_mod.SwinTransformer(**kw)
+
+    head_mod.SwVoteHeadV4 = _swhead
+    # undefined-name typos resolve to module globals when injected:
+    # box_coder_conifg (:121) receives a throwaway dict; the real config
+    # (box_coder_config) is what the ctor uses afterwards
+    head_mod.box_coder_conifg = {}
+
+    def make(in_channels, head_cfg, coder_cfg, set_crit_cfg, matcher_cfg,
+             gt_cfg):
+        # GroundTruthProcessor wants attr-style access (e2e_modules.py:13)
+        head_mod.gt_processor_settings = _Addict(gt_cfg)
+        matcher_cfg = dict(matcher_cfg)
+        # the ctor reads 'weights_dict' (:125,131) while TimeMatcher wants
+        # weight_dict; provide both spellings
+        matcher_cfg.setdefault("weights_dict",
+                               matcher_cfg.get("weight_dict"))
+        head = head_mod.E2ESWVoteHead(
+            in_channels=in_channels,
+            tasks=[{"num_class": head_cfg["num_classes"],
+                    "class_name": ["Vehicle"]}],
+            out_size_factor=int(gt_cfg.get("feature_map_stride", 8)),
+            HEAD_CONFIG=_HeadCfg(head_cfg),
+            CODER_CONFIG=dict(coder_cfg),
+            SET_CRIT_CONFIG=dict(set_crit_cfg),
+            MATCHER_CONFIG=matcher_cfg,
+            GT_PROCESSOR_CONFIG=dict(gt_cfg),
+        )
+        # repair the range(2) cls_head: intended conv-bn-relu + final conv
+        head.cls_head = nn.Sequential(head.cls_head[0], head.cls_head[1])
+        head.cls_head[-1].bias.data.fill_(head_cfg["init_bias"])
+        return head
+
+    return head_mod.E2ESWVoteHead, make
