@@ -548,6 +548,14 @@ class TestPartnerChainedParity:
     GRID = np.array([64, 128, 16])
     PR = (0.3, -3.14368, -2.0, 36.3, 3.14368, 2.8)
 
+    @pytest.fixture(autouse=True)
+    def _pin_torch_rng(self):
+        # the reference modules draw their init weights from torch's
+        # GLOBAL rng; without pinning, the weights (and therefore the
+        # decoded-box diff against the marginal 2.5e-3 tolerance below)
+        # depend on which torch-using tests ran earlier in the process
+        torch.manual_seed(0)
+
     def _make_ref_head(self, in_ch=64):
         from reference_loader import load_reference_e2e_head
 
