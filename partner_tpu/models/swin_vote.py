@@ -30,7 +30,7 @@ import numpy as np
 
 from ..utils.dtypes import resolve_compute_dtype
 
-from ..ops import swin_attn_pallas
+from ..ops import swin_attn_pallas, swin_block_pallas
 
 
 class VoteMLP(nn.Module):
@@ -334,6 +334,27 @@ class SwinVoteTransformer(nn.Module):
     # window-stream intermediates — a training-throughput lever measured
     # by tools/probes/train_anatomy.py (VERDICT r4 next #2)
     remat: bool = False
+    # whole-block fused Pallas kernel (ops/swin_block_pallas.py): one
+    # program per window-row stripe spans LN1 -> qkv+vote -> cosine attn
+    # + RPE -> proj -> residual -> MLP -> residual entirely in VMEM.
+    # None = env/backend gate (PARTNER_TPU_PALLAS_BLOCK=1); True/False
+    # force for tests. Inference-only; exact tiling required.
+    use_block_kernel: Any = None
+    block_kernel_interpret: bool = False
+
+    def _block_kernel_params(self, i):
+        """The kernel's flat param dict from block{i}'s subtree (child
+        params are readable from the parent scope at apply time)."""
+        p = self.get_variable("params", f"block{i}")
+        if p is None:
+            return None
+        a = p["attn"]
+        return {
+            "ln1": p["norm1"], "ln2": p["norm2"],
+            "qkv": a["qkv"], "proj": a["proj"],
+            "vote_mlp": a["vote_mlp"], "rpe": a["rpe"], "tau": a["tau"],
+            "mlp_fc1": p["mlp_fc1"], "mlp_fc2": p["mlp_fc2"],
+        }
 
     @nn.compact
     def __call__(self, x, pos, vote, deterministic=True):
@@ -343,10 +364,37 @@ class SwinVoteTransformer(nn.Module):
                      if self.remat else SwinVoteBlock)
         x = nn.Conv(self.embed_dim, (1, 1), dtype=dt, name="patch_embed")(x)
         x = nn.LayerNorm(name="patch_norm")(x.astype(jnp.float32))
+        ws = self.window_size
+        fused_ok = (
+            (swin_block_pallas.available() if self.use_block_kernel is None
+             else bool(self.use_block_kernel))
+            and deterministic and not self.is_initializing()
+            and x.shape[1] % ws == 0 and x.shape[2] % ws == 0
+        )
         for i in range(self.depth):
+            shift = 0 if i % 2 == 0 else ws // 2
+            bp = self._block_kernel_params(i) if fused_ok else None
+            if bp is not None:
+                # pre/post rolls realize the shift; the region mask rides
+                # inside the kernel
+                h, w = x.shape[1], x.shape[2]
+                if shift:
+                    roll = lambda t: jnp.roll(t, (-shift, -shift),
+                                              axis=(1, 2))
+                    xi, pi, vi = roll(x), roll(pos), roll(vote)
+                    mask = swin_attn_mask(h, w, ws, shift)
+                else:
+                    xi, pi, vi, mask = x, pos, vote, None
+                y = swin_block_pallas.swin_vote_block(
+                    xi.astype(dt), pi, vi, mask, bp, nh=self.num_heads,
+                    ws=ws, gelu_approx=self.gelu_approx,
+                    interpret=self.block_kernel_interpret,
+                ).astype(jnp.float32)
+                x = jnp.roll(y, (shift, shift), axis=(1, 2)) if shift else y
+                continue
             x = block_cls(
-                self.embed_dim, self.num_heads, self.window_size,
-                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                self.embed_dim, self.num_heads, ws,
+                shift_size=shift,
                 mlp_ratio=self.mlp_ratio, drop=self.drop,
                 attn_drop=self.attn_drop, dtype=dt,
                 gelu_approx=self.gelu_approx, name=f"block{i}",
