@@ -194,7 +194,7 @@ def nuscenes_data_prep(root_path, version="v1.0-trainval", nsweeps=10,
             frames = pickle.load(f)
         infos = []
         for fr in frames:
-            infos.append({
+            info = {
                 "token": fr["token"],
                 "lidar_path": fr["lidar_path"],
                 "sweeps": fr.get("sweeps", []),
@@ -202,7 +202,15 @@ def nuscenes_data_prep(root_path, version="v1.0-trainval", nsweeps=10,
                                               np.zeros((0, 9)))),
                 "gt_names": np.asarray(fr.get("gt_names", [])),
                 "timestamp": fr.get("timestamp", 0),
-            })
+            }
+            # calibration pass-through: the nusc results writer needs
+            # these to reach the devkit's global frame
+            # (eval/nuscenes.py:_box_to_global)
+            for k in ("lidar2ego_rotation", "lidar2ego_translation",
+                      "ego2global_rotation", "ego2global_translation"):
+                if k in fr:
+                    info[k] = fr[k]
+            infos.append(info)
     else:  # pragma: no cover - devkit not in this image
         raise NotImplementedError(
             "devkit extraction not wired in this environment")
