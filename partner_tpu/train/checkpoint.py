@@ -140,6 +140,13 @@ def load_checkpoint(path):
     from ..utils import remote_io as rio
 
     path = resolve_checkpoint_uri(path)
+    if os.path.isfile(path) and os.path.basename(path) == "latest":
+        # the ``latest`` pointer file holds the newest step-dir NAME, not
+        # a payload — dereference it (lets ``--checkpoint <wd>/latest``
+        # work in the CLIs)
+        with open(path) as f:
+            name = f.read().strip()
+        return load_checkpoint(os.path.join(os.path.dirname(path), name))
     if os.path.isfile(path):  # downloaded / direct payload file
         with open(path, "rb") as f:
             payload = pickle.load(f)

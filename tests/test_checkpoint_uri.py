@@ -65,6 +65,22 @@ class TestCheckpointUri:
         payload, meta = load_checkpoint(path)
         assert payload["step"] == 0 and meta["epoch"] == 0
 
+    def test_latest_pointer_file_dereferences(self, tmp_path):
+        """--checkpoint <wd>/latest must load the step dir the pointer
+        names, not unpickle the pointer file itself (found by driving
+        the dist_test CLI end-to-end)."""
+        from partner_tpu.train.checkpoint import (load_checkpoint,
+                                                  save_checkpoint)
+        from partner_tpu.train.optim import build_one_cycle_optimizer
+        from partner_tpu.train.train_state import create_train_state
+
+        tx = build_one_cycle_optimizer(lr_max=1e-3, total_steps=10)
+        state = create_train_state(
+            {"params": {"w": np.zeros((2,), np.float32)}}, tx)
+        save_checkpoint(str(tmp_path), state, meta={"epoch": 3})
+        payload, meta = load_checkpoint(str(tmp_path / "latest"))
+        assert payload["step"] == 0 and meta["epoch"] == 3
+
 
 class TestCurriculumSegDecay:
     def test_decay_modes(self):
