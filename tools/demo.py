@@ -56,6 +56,10 @@ def main():
     p.add_argument("--out_dir", default="./demo_out")
     p.add_argument("--max_frames", type=int, default=5)
     p.add_argument("--score_threshold", type=float, default=0.3)
+    p.add_argument("--export_ply", action="store_true",
+                   help="also write a 3D PLY scene per frame (cloud + "
+                        "box wireframes; utils/viz3d.py — the open3d "
+                        "viewer replacement)")
     args = p.parse_args()
 
     import matplotlib
@@ -92,6 +96,14 @@ def main():
         fig.savefig(out, bbox_inches="tight")
         plt.close(fig)
         print("wrote", out)
+
+        if args.export_ply:
+            from partner_tpu.utils.viz3d import write_ply_scene
+
+            ply = write_ply_scene(
+                os.path.join(args.out_dir, f"{tok or n}.ply"),
+                pts, det_boxes=boxes, gt_boxes=info.get("gt_boxes"))
+            print("wrote", ply)
 
 
 if __name__ == "__main__":
