@@ -8,6 +8,7 @@ reference code is EXECUTED for comparison only — nothing is copied.
 """
 
 import importlib.machinery
+import importlib.util
 import sys
 import types
 
@@ -41,20 +42,28 @@ def _install_stubs():
         if not hasattr(collections, _abc):
             setattr(collections, _abc, getattr(collections.abc, _abc))
 
-    numba = types.ModuleType("numba")
+    def _stub_module(name):
+        # the real ModuleSpec matters: find_spec(name) on a stub with
+        # __spec__=None raises ValueError (torch._dynamo's trace_rules
+        # walk installed modules this way — the round-4 red-test cause)
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return m
+
+    numba = _stub_module("numba")
     numba.jit = _identity_dec
     numba.njit = _identity_dec
     for t in ("float64", "float32", "int64", "int32", "boolean", "int8"):
         setattr(numba, t, None)
-    numba.errors = types.ModuleType("numba.errors")
+    numba.errors = _stub_module("numba.errors")
     for w in ("NumbaPerformanceWarning", "NumbaDeprecationWarning",
               "NumbaWarning", "NumbaPendingDeprecationWarning"):
         setattr(numba.errors, w, Warning)
-    numba.cuda = types.ModuleType("numba.cuda")
+    numba.cuda = _stub_module("numba.cuda")
     numba.cuda.jit = _identity_dec
     numba.cuda.__path__ = []  # mark as package for submodule stubs
-    numba.cuda.simulator = types.ModuleType("numba.cuda.simulator")
-    numba.cuda.simulator.api = types.ModuleType("numba.cuda.simulator.api")
+    numba.cuda.simulator = _stub_module("numba.cuda.simulator")
+    numba.cuda.simulator.api = _stub_module("numba.cuda.simulator.api")
     numba.cuda.simulator.api.detect = lambda *a, **k: False
     sys.modules.setdefault("numba", numba)
     sys.modules.setdefault("numba.errors", numba.errors)
@@ -96,8 +105,30 @@ def _install_stubs():
         "fire": {"Fire": None},
         "pyquaternion": {"Quaternion": object},
     }
+    # Never shadow a module that is REALLY installed (matplotlib, tqdm in
+    # this env): sys.modules stubs outlive the reference exec and would
+    # poison later in-process imports by unrelated tests/tools (a leaked
+    # matplotlib stub broke demo.py's matplotlib.use). Availability is
+    # resolved per TOP-LEVEL name BEFORE any stub is created — find_spec
+    # consults sys.modules first, so checking mid-loop would see our own
+    # freshly-installed parent stubs and skip their submodules.
+    installed = {}
+    for name in mods:
+        top = name.split(".", 1)[0]
+        if top not in installed:
+            mod = sys.modules.get(top)
+            if mod is not None:
+                # already imported: real iff it has a file (our stubs
+                # have loader=None specs and no __file__)
+                installed[top] = getattr(mod, "__file__", None) is not None
+            else:
+                try:
+                    installed[top] = (importlib.util.find_spec(top)
+                                      is not None)
+                except (ImportError, ValueError):
+                    installed[top] = False
     for name, attrs in mods.items():
-        if name in sys.modules:
+        if name in sys.modules or installed[name.split(".", 1)[0]]:
             continue
         m = types.ModuleType(name)
         # A real ModuleSpec is required: torch.optim lazily imports
@@ -108,10 +139,14 @@ def _install_stubs():
         for k, v in attrs.items():
             setattr(m, k, v)
         sys.modules[name] = m
-    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
-    sys.modules["torchvision.models"].resnet = sys.modules[
-        "torchvision.models.resnet"]
-    sys.modules["pycocotools"].mask = sys.modules["pycocotools.mask"]
+    # wire stub submodules as parent attributes (skip for real packages —
+    # their own import machinery handles it)
+    for parent, attr in (("torchvision", "models"),
+                         ("torchvision.models", "resnet"),
+                         ("pycocotools", "mask")):
+        child = sys.modules.get(f"{parent}.{attr}")
+        if child is not None and not installed[parent.split(".", 1)[0]]:
+            setattr(sys.modules[parent], attr, child)
 
 
 def load_reference_modules():
